@@ -1,0 +1,63 @@
+"""Texture tables + branchless sampling.
+
+TPU re-design of the reference texture class hierarchy
+(/root/reference/src/texture/texture.ts:26-35, texture_solid.ts:21-44,
+texture_image.ts:20-137): virtual ``get_color(u, v)`` dispatch becomes two
+static tables —
+
+* ``solid_rgb [X, 3]`` — every texture's flat color (the SolidTexture color,
+  or an image texture's *fallback* color, texture_image.ts:40-44);
+* ``atlas [I, H, W, 3]`` — all image textures resized to one static
+  resolution (images of equal shape are a hard requirement for fixed-shape
+  gathers; the reference decodes arbitrary sizes through a DOM canvas,
+  texture_image.ts:76-136 — a browser I/O path replaced here by
+  PIL/NumPy in :mod:`raytracer_js_tpu.utils.image`).
+
+Sampling is a gather + ``jnp.where`` select on ``kind`` — no per-texture
+control flow, so a whole wavefront samples in one fused op. Nearest-neighbor
+filtering matches texture_image.ts:40-63 (bilinear is an explicit TODO there).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import TextureKind
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class TextureTable:
+    kind: Array        # [X] i32: TextureKind
+    ref: Array         # [X] i32: row into atlas for IMAGE kind (0 for solid)
+    solid_rgb: Array   # [X, 3] f32: solid color / image fallback
+    atlas: Array       # [I, H, W, 3] f32 (I >= 1; row 0 is a dummy when unused)
+
+    @property
+    def n_images(self) -> int:
+        return self.atlas.shape[0]
+
+
+def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
+    """Color of texture ``tex_id`` at (u, v); all args [N]-batched -> [N, 3].
+
+    u, v are in [0, 1) (the trace path guarantees this via the equirect
+    epsilon clamp, uv_mapping.ts:19-25; we additionally clamp, where the
+    reference throws, texture_image.ts:49-50 — a wavefront cannot throw
+    per-lane).
+
+    Texel lookup: ``(ix, iy) = (floor(u*W), floor(v*H))``, row iy from the
+    *bottom* of the image — the reference loader vertically flips into
+    bottom-up storage at decode time (texture_image.ts:112-127); we keep
+    images top-down in memory and flip at sample time instead.
+    """
+    tex_id = jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)
+    solid = tex.solid_rgb[tex_id]
+    h, w = tex.atlas.shape[1], tex.atlas.shape[2]
+    ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    img_row = tex.ref[tex_id]
+    img = tex.atlas[img_row, (h - 1) - iy, ix]
+    is_img = (tex.kind[tex_id] == int(TextureKind.IMAGE))[..., None]
+    return jnp.where(is_img, img, solid)

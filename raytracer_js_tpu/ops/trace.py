@@ -1,0 +1,395 @@
+"""Fixed-depth iterative wavefront trace loop.
+
+TPU re-design of the reference's mutable per-ray state machine
+(``Ray.trace()``, /root/reference/src/raytracer.ts:166-277): the recursive-ish
+while-walker loop becomes ``refmax`` iterations of a masked wavefront pass
+over SoA ray-state tensors — traverse → intersect → shade → respawn — with an
+explicit per-ray status word instead of control flow (SURVEY.md §7).
+
+Behavioral contract (each rule cites its reference source):
+
+* every hit first modulates the ray color by the hit texture's color at the
+  hit UV (``SolidMaterial.alter_ray``, materials/material_solid.ts:30-36,
+  invoked at raytracer.ts:209);
+* path distance accumulates the org→hit length (raytracer.ts:210);
+* emissive hit → terminate; at termination the color is scaled by the
+  inverse-square-law coefficient ``1/(eps + (path * A)^2)``
+  (raytracer.ts:215-218, 273-275);
+* mirror REFLECTION → reflect about the normal (raytracer.ts:231), roughness
+  scatter if roughness > 0 (raytracer.ts:233-235), ε-advance along the NEW
+  direction (raytracer.ts:236, 158-164);
+* non-mirror REFLECTION → terminate keeping the (modulated) color
+  (raytracer.ts:222-225, scattering is a TODO there);
+* TRANSMISSION → ε-advance along the OLD direction first (raytracer.ts:239),
+  look up the substance of the innermost entity containing the advanced
+  point (raytracer.ts:240-241), refract with TIR fallback and adopt that
+  substance (raytracer.ts:245-248); an entity with *undefined* substance
+  means no refraction and no substance change (raytracer.ts:243-248);
+* unhandled ResponseType.BOTH → terminate keeping color (the reference's
+  default-return, raytracer.ts:250-251);
+* miss → color ⊙ sky(dir), terminate (raytracer.ts:267-271);
+* ray still alive after ``refmax`` hits → black (raytracer.ts:256-263). Note
+  the ordering: an emissive hit on the refmax-th bounce still terminates as
+  LIGHT because the reference breaks before the refmax check
+  (raytracer.ts:215-218 vs :256).
+
+DOCUMENTED DIVERGENCES (deliberate, defined by the scalar oracle which owns
+the allclose contract):
+
+* nearest forward hit (argmin t) instead of first-entity-in-set-order
+  (raytracer.ts:186-195) — SURVEY.md §7 hard part 3;
+* physically-correct Snell refraction (see ops/vecmath.refract) instead of
+  the reference's malformed update (raytracer.ts:135-150);
+* the substance point query picks the *innermost containing* entity
+  (smallest enclosed volume) instead of first-in-set-order at one octree
+  node (octree_entity.ts:191-202);
+* the acute-normal early return (raytracer.ts:199-203) is unreachable here
+  because surface normals are flipped against the incoming direction by
+  construction.
+
+Autodiff: the nearest-hit *search* (argmin indices, octree cells) is
+discrete and runs under ``stop_gradient``; gradients flow only through the
+differentiable per-hit surface recompute (ops/intersect ``*_surface``), the
+color-modulation products, the ISL attenuation, and the sky/texture lookups
+— the VJP boundary SURVEY.md §7 prescribes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import EPS_ADVANCE, JS_EPSILON, HitBackend, RayStatus, RenderConfig, ResponseType
+from ..models import textures as tex_mod
+from ..models.scene import Scene, prim_volumes
+from . import intersect, sampling
+from .vecmath import dot, reflect, refract, uv_map_sphere
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class RayState:
+    """SoA wavefront state (the reference's per-``Ray`` fields,
+    raytracer.ts:55-99, as [N]-leading tensors)."""
+
+    org: Array      # [N, 3] current origin (refpoint)
+    dir: Array      # [N, 3] unit direction
+    color: Array    # [N, 3] accumulated modulation (starts white)
+    path: Array     # [N] path distance for ISL
+    refr: Array     # [N] current substance refractive index
+    status: Array   # [N] i32 RayStatus
+
+
+# ---------------------------------------------------------------------------
+# Nearest hit (brute backend; octree / pallas backends plug in here)
+# ---------------------------------------------------------------------------
+
+def nearest_hit_brute(scene: Scene, org: Array, dir: Array) -> Tuple[Array, Array]:
+    """Dense nearest-forward-hit: [N] rays x all prims -> (t [N], pid [N]).
+
+    ``pid`` indexes the global [spheres|boxes|tris] ordering; -1 on miss.
+    The per-type hit matrices ride the MXU (sphere test) / VPU; argmin is a
+    single lane reduction. This is the TPU replacement for the walker's
+    per-node entity scan when the scene is small enough that culling loses.
+    """
+    parts = []
+    if scene.n_spheres:
+        parts.append(intersect.sphere_hit_t(org, dir, scene.sphere_center,
+                                            scene.sphere_radius))
+    if scene.n_boxes:
+        parts.append(intersect.box_hit_t(org, dir, scene.box_center,
+                                         scene.box_half))
+    if scene.n_tris:
+        parts.append(intersect.tri_hit_t(org, dir, scene.tri_v0,
+                                         scene.tri_v1, scene.tri_v2))
+    if not parts:
+        n = org.shape[0]
+        return jnp.full((n,), jnp.inf, org.dtype), jnp.full((n,), -1, jnp.int32)
+    # global prim ids must account for skipped empty classes
+    offsets = []
+    off = 0
+    for cls_n, present in ((scene.n_spheres, scene.n_spheres > 0),
+                           (scene.n_boxes, scene.n_boxes > 0),
+                           (scene.n_tris, scene.n_tris > 0)):
+        if present:
+            offsets.append(off)
+        off += cls_n
+    t_all = jnp.concatenate(parts, axis=1)                     # [N, P']
+    local = jnp.argmin(t_all, axis=1).astype(jnp.int32)        # [N]
+    t = jnp.min(t_all, axis=1)
+    # map local column -> global prim id (static shape arithmetic)
+    widths = [p.shape[1] for p in parts]
+    gid = local
+    lo = 0
+    for base, width in zip(offsets, widths):
+        in_k = (local >= lo) & (local < lo + width)
+        gid = jnp.where(in_k, local - lo + base, gid)
+        lo += width
+    pid = jnp.where(jnp.isfinite(t), gid, -1)
+    return t, pid
+
+
+def nearest_hit(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+                accel=None) -> Tuple[Array, Array]:
+    """Backend dispatch for the nearest-hit search (all discrete; callers
+    stop_gradient the results)."""
+    if cfg.backend == HitBackend.BRUTE or accel is None:
+        return nearest_hit_brute(scene, org, dir)
+    if cfg.backend == HitBackend.OCTREE:
+        from ..accel.octree import nearest_hit_octree
+
+        return nearest_hit_octree(scene, accel, org, dir)
+    if cfg.backend == HitBackend.PALLAS:
+        from ..kernels.nearest_hit import nearest_hit_pallas
+
+        return nearest_hit_pallas(scene, org, dir)
+    raise ValueError(f"unknown backend {cfg.backend}")
+
+
+# ---------------------------------------------------------------------------
+# Differentiable surface recompute
+# ---------------------------------------------------------------------------
+
+def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
+    """(point, normal, u, v, t) of primitive ``pid`` per ray — differentiable.
+
+    ``pid`` is a discrete (stopped) index; geometry params are gathered per
+    ray and re-intersected analytically so hit position/normal/uv carry
+    gradients to the primitive parameter arrays (the VJP boundary).
+    Miss lanes (pid < 0) produce garbage that callers mask; all lanes are
+    NaN-free in both primal and gradient.
+    """
+    n = org.shape[0]
+    pid_c = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+
+    point = jnp.zeros_like(org)
+    normal = jnp.zeros_like(org)
+    uu = jnp.zeros((n,), org.dtype)
+    vv = jnp.zeros((n,), org.dtype)
+    tt = jnp.zeros((n,), org.dtype)
+
+    if scene.n_spheres:
+        idx = jnp.clip(pid_c, 0, s_end - 1)
+        c = scene.sphere_center[idx]
+        r = scene.sphere_radius[idx]
+        t, p, nrm, (u, v) = intersect.sphere_surface(org, dir, c, r)
+        m = (pid_c < s_end)
+        point = jnp.where(m[:, None], p, point)
+        normal = jnp.where(m[:, None], nrm, normal)
+        uu = jnp.where(m, u, uu)
+        vv = jnp.where(m, v, vv)
+        tt = jnp.where(m, t, tt)
+    if scene.n_boxes:
+        idx = jnp.clip(pid_c - s_end, 0, scene.n_boxes - 1)
+        c = scene.box_center[idx]
+        h = scene.box_half[idx]
+        t, p, nrm, (u, v) = intersect.box_surface(org, dir, c, h)
+        m = (pid_c >= s_end) & (pid_c < b_end)
+        point = jnp.where(m[:, None], p, point)
+        normal = jnp.where(m[:, None], nrm, normal)
+        uu = jnp.where(m, u, uu)
+        vv = jnp.where(m, v, vv)
+        tt = jnp.where(m, t, tt)
+    if scene.n_tris:
+        idx = jnp.clip(pid_c - b_end, 0, scene.n_tris - 1)
+        v0 = scene.tri_v0[idx]
+        v1 = scene.tri_v1[idx]
+        v2 = scene.tri_v2[idx]
+        t, p, nrm, (u, v) = intersect.tri_surface(org, dir, v0, v1, v2)
+        m = pid_c >= b_end
+        point = jnp.where(m[:, None], p, point)
+        normal = jnp.where(m[:, None], nrm, normal)
+        uu = jnp.where(m, u, uu)
+        vv = jnp.where(m, v, vv)
+        tt = jnp.where(m, t, tt)
+    return point, normal, uu, vv, tt
+
+
+# ---------------------------------------------------------------------------
+# Substance point query (TRANSMISSION refraction target)
+# ---------------------------------------------------------------------------
+
+def substance_refr_at(scene: Scene, point: Array, cur_refr: Array):
+    """Refraction target at ``point`` — the ``entity_at_pos`` analogue
+    (octree_entity.ts:191-202 used at raytracer.ts:240-248).
+
+    Returns ``(target_refr [N], do_refract [N])``:
+
+    * innermost containing entity with a defined substance → its index,
+      refract;
+    * innermost containing entity with undefined substance → keep current
+      substance, do NOT refract (raytracer.ts:243-248);
+    * no containing entity → the scene default substance, refract.
+    """
+    n = point.shape[0]
+    if scene.n_prims == 0:
+        return jnp.broadcast_to(scene.default_refr, (n,)), jnp.ones((n,), bool)
+    inside_parts = []
+    if scene.n_spheres:
+        d2 = jnp.sum(
+            (point[:, None, :] - scene.sphere_center[None, :, :]) ** 2, -1)
+        inside_parts.append(d2 <= scene.sphere_radius[None, :] ** 2)
+    if scene.n_boxes:
+        rel = jnp.abs(point[:, None, :] - scene.box_center[None, :, :])
+        inside_parts.append(
+            jnp.all(rel <= scene.box_half[None, :, :], axis=-1))
+    if scene.n_tris:
+        inside_parts.append(
+            jnp.zeros((n, scene.n_tris), bool))  # triangles have no interior
+    inside = jnp.concatenate(inside_parts, axis=1)             # [N, P]
+    vol = prim_volumes(scene)[None, :]                         # [1, P]
+    score = jnp.where(inside, vol, jnp.inf)
+    ent = jnp.argmin(score, axis=1).astype(jnp.int32)          # innermost
+    any_inside = jnp.any(inside, axis=1)
+    sub_id = scene.prim_substance[ent]                         # [N]
+    defined = sub_id >= 0
+    sub_refr = scene.sub_refr[jnp.clip(sub_id, 0, scene.sub_refr.shape[0] - 1)]
+    target = jnp.where(
+        any_inside,
+        jnp.where(defined, sub_refr, cur_refr),
+        jnp.broadcast_to(scene.default_refr, (n,)),
+    )
+    do_refract = jnp.where(any_inside, defined, True)
+    return target, do_refract
+
+
+def sky_color(scene: Scene, dir: Array) -> Array:
+    """Environment color for a direction — SkySphere equirect lookup
+    (sky/sky_sphere.ts:22-27)."""
+    u, v = uv_map_sphere(dir)
+    tex_id = jnp.full(u.shape, scene.sky_tex, jnp.int32)
+    return tex_mod.sample(scene.textures, tex_id, u, v)
+
+
+# ---------------------------------------------------------------------------
+# The bounce loop
+# ---------------------------------------------------------------------------
+
+def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
+            keys: Array, bounce: Array) -> RayState:
+    """One wavefront pass: traverse -> intersect -> shade -> respawn."""
+    alive = state.status == int(RayStatus.ALIVE)
+
+    t_hit, pid = nearest_hit(scene, cfg, state.org, state.dir, accel)
+    t_hit = jax.lax.stop_gradient(t_hit)
+    pid = jax.lax.stop_gradient(pid)
+    hit = alive & (pid >= 0)
+
+    if scene.n_prims == 0:
+        # Pure-sky scene: every alive ray misses immediately.
+        sky = sky_color(scene, state.dir)
+        color = jnp.where(alive[:, None], state.color * sky, state.color)
+        status = jnp.where(alive, int(RayStatus.MISS), state.status)
+        return state.replace(color=color, status=status)
+
+    point, normal, u, v, t_surf = surface_at(scene, state.org, state.dir, pid)
+
+    # alter_ray: color *= texture(uv) (material_solid.ts:30-36)
+    tex_id = scene.prim_texture[jnp.clip(pid, 0, scene.n_prims - 1)]
+    tex_rgb = tex_mod.sample(scene.textures, tex_id, u, v)
+    color = jnp.where(hit[:, None], state.color * tex_rgb, state.color)
+
+    # path distance (raytracer.ts:210); dir is unit so |point - org| = t
+    path = jnp.where(hit, state.path + t_surf, state.path)
+
+    # material columns
+    mat_id = scene.prim_material[jnp.clip(pid, 0, scene.n_prims - 1)]
+    mat = scene.materials
+    is_light = mat.light[mat_id] & hit
+    is_mirror = mat.mirror[mat_id]
+    response = mat.response[mat_id]
+    roughness = mat.roughness[mat_id]
+
+    is_refl = response == int(ResponseType.REFLECTION)
+    is_trans = response == int(ResponseType.TRANSMISSION)
+
+    # --- REFLECTION (mirror) -------------------------------------------------
+    refl_dir = reflect(state.dir, normal)
+    bounce_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, bounce)
+    refl_dir = sampling.scatter_direction(bounce_keys, refl_dir, normal,
+                                          roughness)
+    # --- TRANSMISSION --------------------------------------------------------
+    adv_point = point + EPS_ADVANCE * state.dir        # ε-advance, OLD dir
+    target_refr, do_refract = substance_refr_at(scene, adv_point, state.refr)
+    eta = state.refr / jnp.maximum(target_refr, 1e-6)
+    refr_dir, _tir = refract(state.dir, normal, eta)
+    trans_dir = jnp.where(do_refract[:, None], refr_dir, state.dir)
+    new_refr = jnp.where(do_refract, target_refr, state.refr)
+
+    # --- select continuation -------------------------------------------------
+    cont_mirror = hit & ~is_light & is_refl & is_mirror
+    cont_trans = hit & ~is_light & is_trans
+    cont = cont_mirror | cont_trans
+
+    new_dir = jnp.where(cont_trans[:, None], trans_dir,
+                        jnp.where(cont_mirror[:, None], refl_dir, state.dir))
+    new_org = jnp.where(
+        cont_trans[:, None], adv_point,
+        jnp.where(cont_mirror[:, None], point + EPS_ADVANCE * refl_dir,
+                  state.org))
+    refr_out = jnp.where(cont_trans, new_refr, state.refr)
+
+    # --- terminations ---------------------------------------------------------
+    miss = alive & (pid < 0)
+    sky = sky_color(scene, state.dir)
+    color = jnp.where(miss[:, None], color * sky, color)
+
+    keep = hit & ~is_light & ~cont                      # non-mirror refl / BOTH
+    status = state.status
+    status = jnp.where(is_light, int(RayStatus.LIGHT), status)
+    status = jnp.where(keep, int(RayStatus.KEEP), status)
+    status = jnp.where(miss, int(RayStatus.MISS), status)
+
+    return RayState(org=new_org, dir=new_dir, color=color, path=path,
+                    refr=refr_out, status=status)
+
+
+def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+               key: Array, ray_id: Array, start_refr: Array | None = None,
+               accel=None) -> RayState:
+    """Trace a wavefront of N rays to termination.
+
+    ``ray_id`` is the global pixel/sample id used for sharding-stable RNG.
+    ``start_refr`` is the substance at the camera (the reference looks it up
+    once per frame, raytracer.ts:312-313); defaults to the scene default.
+    Returns the final RayState; LIGHT rays already carry ISL attenuation,
+    EXHAUST rays are black.
+    """
+    n = org.shape[0]
+    if start_refr is None:
+        start_refr = jnp.broadcast_to(scene.default_refr, (n,))
+    state = RayState(
+        org=org,
+        dir=dir,
+        color=jnp.ones((n, 3), org.dtype),   # COLOR_WHITE (raytracer.ts:324)
+        path=jnp.zeros((n,), org.dtype),
+        refr=start_refr,
+        status=jnp.zeros((n,), jnp.int32),
+    )
+    keys = sampling.ray_keys(key, ray_id)
+
+    def body(b, st):
+        return _bounce(scene, cfg, accel, st, keys, b)
+
+    state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=True)
+
+    # One final pass for rays that survived refmax bounces without a hit
+    # resolution in the loop: rays still ALIVE after refmax hits -> black
+    # (raytracer.ts:256-263). Rays that never hit anything got MISS inside
+    # the loop's first iteration, so ALIVE here == refmax continuations.
+    exhausted = state.status == int(RayStatus.ALIVE)
+    color = jnp.where(exhausted[:, None], 0.0, state.color)
+    status = jnp.where(exhausted, int(RayStatus.EXHAUST), state.status)
+
+    # ISL attenuation for light hits (raytracer.ts:273-275).
+    isl = 1.0 / (JS_EPSILON +
+                 (state.path * cfg.distance_attenuation_factor) ** 2)
+    lit = status == int(RayStatus.LIGHT)
+    color = jnp.where(lit[:, None], color * isl[:, None], color)
+    return state.replace(color=color, status=status)

@@ -1,0 +1,331 @@
+"""Scalar NumPy reference path (the allclose oracle).
+
+A deliberately slow, loop-per-ray re-specification of the reference engine's
+behavior (/root/reference/src/raytracer.ts:166-277 and its callees), used as
+the golden-image and gradient-check oracle for every TPU path (SURVEY.md §7
+build step 1). No JAX anywhere — pure Python/NumPy scalars, so it is immune
+to every vectorization/fusion bug class the TPU paths could have.
+
+Behavior matches ops/trace.py bit-for-bit in float64-rounded-to-float32
+(tests use allclose, not equality), including the documented divergences
+from the TypeScript reference (nearest-hit, correct Snell refraction,
+innermost-containing substance query) — those divergences are *defined* by
+this oracle.
+
+Deterministic subset only: materials with roughness > 0 draw scatter
+randomness that intentionally differs between the threefry wavefront and any
+scalar stream, so oracle scenes must use roughness == 0 (the trace step
+bypasses the RNG entirely there, raytracer.ts:233-235).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..config import EPS_ADVANCE, JS_EPSILON, RayStatus, ResponseType
+
+_INF = float("inf")
+
+
+def _as_np(scene):
+    """Snapshot a Scene pytree's leaves as float64 numpy for scalar math."""
+    f = lambda a: np.asarray(a, np.float64)
+    i = lambda a: np.asarray(a, np.int64)
+    return dict(
+        sc=f(scene.sphere_center), sr=f(scene.sphere_radius),
+        bc=f(scene.box_center), bh=f(scene.box_half),
+        t0=f(scene.tri_v0), t1=f(scene.tri_v1), t2=f(scene.tri_v2),
+        mat=i(scene.prim_material), tex=i(scene.prim_texture),
+        sub=i(scene.prim_substance),
+        m_resp=i(scene.materials.response),
+        m_light=np.asarray(scene.materials.light, bool),
+        m_mirror=np.asarray(scene.materials.mirror, bool),
+        m_rough=f(scene.materials.roughness),
+        t_kind=i(scene.textures.kind), t_ref=i(scene.textures.ref),
+        t_solid=f(scene.textures.solid_rgb), atlas=f(scene.textures.atlas),
+        sub_refr=f(scene.sub_refr), default_refr=float(scene.default_refr),
+        sky_tex=int(scene.sky_tex),
+    )
+
+
+def uv_map_sphere(d):
+    eps = 2.0 ** -52
+    u = math.atan2(d[1], d[0]) / (2 * math.pi) + 0.5 - eps
+    v = math.atan2(d[2], math.hypot(d[0], d[1])) / math.pi + 0.5 - eps
+    return u, v
+
+
+def tex_color(s, tex_id: int, u: float, v: float):
+    if s["t_kind"][tex_id] == 1:  # IMAGE
+        atlas = s["atlas"]
+        h, w = atlas.shape[1], atlas.shape[2]
+        ix = min(max(int(u * w), 0), w - 1)
+        iy = min(max(int(v * h), 0), h - 1)
+        return atlas[s["t_ref"][tex_id], (h - 1) - iy, ix].copy()
+    return s["t_solid"][tex_id].copy()
+
+
+# --- intersections (first forward param, matching ops/intersect) -----------
+
+def hit_sphere(org, dir, c, r) -> float:
+    oc = org - c
+    b_half = float(np.dot(oc, dir))
+    a = float(np.dot(dir, dir))
+    cc = float(np.dot(oc, oc)) - r * r
+    disc = b_half * b_half - a * cc
+    if disc < 0:
+        return _INF
+    sq = math.sqrt(disc)
+    t_near = (-b_half - sq) / a
+    t_far = (-b_half + sq) / a
+    if t_near >= 0:
+        return t_near
+    if t_far >= 0:
+        return t_far
+    return _INF
+
+
+def _slab(org, dir, lo, hi):
+    eps = 1e-12
+    t0s, t1s = [], []
+    for k in range(3):
+        d = dir[k]
+        if abs(d) < eps:
+            d = -eps if d < 0 else eps
+        ta = (lo[k] - org[k]) / d
+        tb = (hi[k] - org[k]) / d
+        t0s.append(min(ta, tb))
+        t1s.append(max(ta, tb))
+    t_enter = max(t0s)
+    t_exit = min(t1s)
+    return t_enter, t_exit, int(np.argmax(t0s)), int(np.argmin(t1s))
+
+
+def hit_box(org, dir, c, h) -> float:
+    t_enter, t_exit, _, _ = _slab(org, dir, c - h, c + h)
+    if t_enter > t_exit:
+        return _INF
+    if t_enter >= 0:
+        return t_enter
+    if t_exit >= 0:
+        return t_exit
+    return _INF
+
+
+MT_EPS = 1e-9
+
+
+def hit_tri(org, dir, v0, v1, v2) -> float:
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = np.cross(dir, e2)
+    det = float(np.dot(e1, p))
+    if abs(det) < MT_EPS:
+        return _INF
+    inv = 1.0 / det
+    sv = org - v0
+    u = float(np.dot(sv, p)) * inv
+    q = np.cross(sv, e1)
+    v = float(np.dot(dir, q)) * inv
+    t = float(np.dot(e2, q)) * inv
+    if u >= 0 and v >= 0 and u + v <= 1 and t >= 0:
+        return t
+    return _INF
+
+
+def nearest_hit(s, org, dir) -> Tuple[float, int]:
+    best_t, best = _INF, -1
+    pid = 0
+    for k in range(len(s["sr"])):
+        t = hit_sphere(org, dir, s["sc"][k], s["sr"][k])
+        if t < best_t:
+            best_t, best = t, pid
+        pid += 1
+    for k in range(len(s["bc"])):
+        t = hit_box(org, dir, s["bc"][k], s["bh"][k])
+        if t < best_t:
+            best_t, best = t, pid
+        pid += 1
+    for k in range(len(s["t0"])):
+        t = hit_tri(org, dir, s["t0"][k], s["t1"][k], s["t2"][k])
+        if t < best_t:
+            best_t, best = t, pid
+        pid += 1
+    return best_t, best
+
+
+def surface(s, org, dir, pid):
+    """(point, normal, u, v, t) for the chosen primitive."""
+    n_s = len(s["sr"])
+    n_b = len(s["bc"])
+    if pid < n_s:
+        c, r = s["sc"][pid], s["sr"][pid]
+        t = hit_sphere(org, dir, c, r)
+        point = org + t * dir
+        normal = (point - c) / r
+        if np.dot(dir, normal) > 0:
+            normal = -normal
+        u, v = uv_map_sphere(point - c)
+        return point, normal, u, v, t
+    if pid < n_s + n_b:
+        k = pid - n_s
+        c, h = s["bc"][k], s["bh"][k]
+        lo, hi = c - h, c + h
+        t_enter, t_exit, a_in, a_out = _slab(org, dir, lo, hi)
+        entering = t_enter >= 0
+        t = t_enter if entering else t_exit
+        axis = a_in if entering else a_out
+        point = org + t * dir
+        sign = math.copysign(1.0, dir[axis]) if dir[axis] != 0 else 1.0
+        normal = np.zeros(3)
+        normal[axis] = -sign
+        outward = -sign if entering else sign
+        face = axis * 2 + (1 if outward > 0 else 0)
+        rel = np.clip((point - lo) / (2 * h), 0.0, 1.0 - 2.0 ** -23)
+        b_axis = 1 if axis == 0 else 0
+        c_axis = 1 if axis == 2 else 2
+        u = (face + rel[b_axis]) / 6.0
+        return point, normal, u, rel[c_axis], t
+    k = pid - n_s - n_b
+    v0, v1, v2 = s["t0"][k], s["t1"][k], s["t2"][k]
+    e1, e2 = v1 - v0, v2 - v0
+    p = np.cross(dir, e2)
+    det = float(np.dot(e1, p))
+    inv = 1.0 / (MT_EPS if abs(det) < MT_EPS else det)
+    sv = org - v0
+    u = float(np.dot(sv, p)) * inv
+    q = np.cross(sv, e1)
+    v = float(np.dot(dir, q)) * inv
+    t = float(np.dot(e2, q)) * inv
+    point = org + t * dir
+    normal = np.cross(e1, e2)
+    normal = normal / (np.linalg.norm(normal) + 1e-300)
+    if np.dot(dir, normal) > 0:
+        normal = -normal
+    return point, normal, u, v, t
+
+
+def substance_refr_at(s, point, cur_refr):
+    """Innermost containing entity's substance (trace.py contract)."""
+    best_vol, best_pid = _INF, -1
+    pid = 0
+    for k in range(len(s["sr"])):
+        if np.sum((point - s["sc"][k]) ** 2) <= s["sr"][k] ** 2:
+            vol = (4.0 / 3.0) * math.pi * s["sr"][k] ** 3
+            if vol < best_vol:
+                best_vol, best_pid = vol, pid
+        pid += 1
+    for k in range(len(s["bc"])):
+        if np.all(np.abs(point - s["bc"][k]) <= s["bh"][k]):
+            vol = float(np.prod(2 * s["bh"][k]))
+            if vol < best_vol:
+                best_vol, best_pid = vol, pid
+        pid += 1
+    if best_pid < 0:
+        return s["default_refr"], True
+    sub_id = s["sub"][best_pid]
+    if sub_id < 0:
+        return cur_refr, False
+    return float(s["sub_refr"][sub_id]), True
+
+
+def reflect(d, n):
+    return d - 2.0 * float(np.dot(d, n)) * n
+
+
+def refract(d, n, eta):
+    c1 = -float(np.dot(d, n))
+    s2 = eta * eta * (1.0 - c1 * c1)
+    if s2 > 1.0:
+        return reflect(d, n)
+    c2 = math.sqrt(1.0 - s2)
+    return eta * d + (eta * c1 - c2) * n
+
+
+def trace_ray(s, org, dir, refmax, atten, start_refr):
+    """Scalar twin of ops/trace.trace_rays for one ray.
+
+    Returns (color[3], status, path)."""
+    org = np.array(org, np.float64)
+    dir = np.array(dir, np.float64)
+    color = np.ones(3)
+    path = 0.0
+    refr = float(start_refr)
+    status = int(RayStatus.ALIVE)
+
+    for _bounce in range(refmax):
+        t, pid = nearest_hit(s, org, dir)
+        if pid < 0:
+            u, v = uv_map_sphere(dir)
+            color = color * tex_color(s, s["sky_tex"], u, v)
+            status = int(RayStatus.MISS)
+            break
+        point, normal, u, v, t = surface(s, org, dir, pid)
+        color = color * tex_color(s, int(s["tex"][pid]), u, v)
+        path += t
+        mid = int(s["mat"][pid])
+        if s["m_light"][mid]:
+            status = int(RayStatus.LIGHT)
+            break
+        resp = int(s["m_resp"][mid])
+        if resp == int(ResponseType.REFLECTION):
+            if not s["m_mirror"][mid]:
+                status = int(RayStatus.KEEP)
+                break
+            if s["m_rough"][mid] > 0:
+                raise NotImplementedError(
+                    "oracle supports deterministic (roughness==0) paths only")
+            dir = reflect(dir, normal)
+            org = point + EPS_ADVANCE * dir
+        elif resp == int(ResponseType.TRANSMISSION):
+            adv = point + EPS_ADVANCE * dir
+            target, do_refract = substance_refr_at(s, adv, refr)
+            if do_refract:
+                dir = refract(dir, normal, refr / max(target, 1e-6))
+                refr = target
+            org = adv
+        else:  # BOTH — unhandled in the reference (raytracer.ts:250-251)
+            status = int(RayStatus.KEEP)
+            break
+
+    if status == int(RayStatus.ALIVE):
+        color = np.zeros(3)
+        status = int(RayStatus.EXHAUST)
+    if status == int(RayStatus.LIGHT):
+        color = color / (JS_EPSILON + (path * atten) ** 2)
+    return color, status, path
+
+
+def camera_dirs(pos, front, left, up, fov_h, fov_v, w, h):
+    """Scalar twin of models/camera.pixel_rays (closed-form equiangular)."""
+    front = np.asarray(front, np.float64)
+    left = np.asarray(left, np.float64)
+    up = np.asarray(up, np.float64)
+    dirs = np.zeros((h, w, 3))
+    for y in range(h):
+        th_v = (y - (h // 2)) * (fov_v / h)
+        cv, sv = math.cos(th_v), math.sin(th_v)
+        for x in range(w):
+            th_h = (x - (w // 2)) * (fov_h / w)
+            ch, sh = math.cos(th_h), math.sin(th_h)
+            dirs[y, x] = ch * cv * front + ch * sv * up + sh * left
+    return dirs
+
+
+def render(scene, camera, cfg) -> np.ndarray:
+    """Scalar full-frame render -> [h, w, 3] float64 HDR."""
+    s = _as_np(scene)
+    pos = np.asarray(camera.pos, np.float64)
+    dirs = camera_dirs(pos, camera.front, camera.left, camera.up,
+                       camera.fov_h, camera.fov_v, camera.w, camera.h)
+    start_refr, _ = substance_refr_at(s, pos, s["default_refr"])
+    img = np.zeros((camera.h, camera.w, 3))
+    for y in range(camera.h):
+        for x in range(camera.w):
+            color, _, _ = trace_ray(s, pos, dirs[y, x], cfg.refmax,
+                                    cfg.distance_attenuation_factor,
+                                    start_refr)
+            img[y, x] = color
+    return img

@@ -1,0 +1,71 @@
+"""Render frontend — the jitted ``render(scene, camera) -> image`` entry.
+
+TPU re-design of ``Raytracer.trace_frame()`` (/root/reference/src/
+raytracer.ts:281-339): the per-pixel Python loop becomes one wavefront of
+``h*w`` rays traced in a single fused computation. The camera-position
+substance lookup happens once per frame (raytracer.ts:312-313), exactly as in
+the reference. Samples-per-pixel batching replaces the reference's
+across-frames progressive averaging (it is the same running mean computed in
+one launch; the cross-launch accumulator also exists, see view/exposure.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import RenderConfig
+from .models.camera import Camera, pixel_rays
+from .models.scene import Scene
+from .ops import trace as trace_mod
+
+Array = jnp.ndarray
+
+
+def start_substance(scene: Scene, pos: Array) -> Array:
+    """Substance at the camera position (raytracer.ts:312-313): innermost
+    containing entity's substance, or the scene default."""
+    refr, _ = trace_mod.substance_refr_at(
+        scene, pos[None, :], scene.default_refr[None])
+    return refr[0]
+
+
+def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+                key: Array, ray_id: Array, accel=None) -> Array:
+    """Trace a flat wavefront, averaging ``cfg.spp`` samples -> [N, 3] HDR.
+
+    Sample s of ray i uses the RNG stream (key, ray_id[i]*spp + s), so the
+    result is bitwise identical under any device sharding of the wavefront.
+    """
+    refr0 = jnp.broadcast_to(start_substance(scene, org[0]), (org.shape[0],))
+
+    def one_sample(s):
+        sid = ray_id * cfg.spp + s
+        st = trace_mod.trace_rays(scene, cfg, org, dir, key, sid,
+                                  start_refr=refr0, accel=accel)
+        return st.color
+
+    if cfg.spp == 1:
+        return one_sample(0)
+
+    def body(s, acc):
+        return acc + one_sample(s)
+
+    acc = jax.lax.fori_loop(0, cfg.spp, body, jnp.zeros_like(org))
+    return acc / cfg.spp
+
+
+def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
+               key: Optional[Array] = None, accel=None) -> Array:
+    """Full-frame HDR render -> [h, w, 3] float32 (linear, pre-tone-map)."""
+    if key is None:
+        key = jax.random.key(0)
+    org, dir = pixel_rays(camera)
+    ray_id = jnp.arange(org.shape[0], dtype=jnp.int32)
+    colors = render_rays(scene, cfg, org, dir, key, ray_id, accel=accel)
+    return colors.reshape(camera.h, camera.w, 3)
+
+
+# Convenience alias matching the package-level API.
+render = render_hdr
