@@ -106,6 +106,10 @@ class RenderConfig:
     #: exposure_buffer.ts:53-91).
     spp: int = 1
     backend: HitBackend = HitBackend.BRUTE
+    #: unroll the bounce fori_loop. Unrolling lets XLA fuse across bounces
+    #: but multiplies trace size by refmax (first compiles over the remote
+    #: TPU tunnel were observed at ~10 min unrolled vs seconds rolled).
+    unroll: bool = False
     #: documented divergence from the reference: nearest forward hit
     #: (argmin t) instead of first-entity-in-set-order (raytracer.ts:186-195).
     #: Kept as a field only for documentation; nearest-hit is the behavior.

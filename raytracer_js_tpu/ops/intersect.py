@@ -175,7 +175,12 @@ def box_surface(org: Array, dir: Array, center: Array, half: Array):
     axis = jnp.where(entering, enter_axis, exit_axis)
     point = org + t[..., None] * dir
     ax_onehot = jax_onehot3(axis)
-    sign = jnp.sign(jnp.sum(dir * ax_onehot, axis=-1))
+    # copysign-style: a ray with an exactly-zero component along the winning
+    # axis (common on axis-aligned camera rows) must still get a unit normal
+    # — jnp.sign would give 0 and a degenerate normal whose c1 = 0 poisons
+    # downstream refraction gradients (oracle uses copysign with +1 at 0).
+    d_axis = jnp.sum(dir * ax_onehot, axis=-1)
+    sign = jnp.where(d_axis < 0.0, -1.0, 1.0)
     normal = -sign[..., None] * ax_onehot
     # face index in reference FACE_NORMALS order: (-x,+x,-y,+y,-z,+z)
     outward_sign = jnp.where(entering, -sign, sign)

@@ -364,20 +364,24 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     n = org.shape[0]
     if start_refr is None:
         start_refr = jnp.broadcast_to(scene.default_refr, (n,))
+    # Derive the fresh per-ray state from ``org`` so that under shard_map the
+    # whole fori_loop carry is uniformly device-varying (a replicated
+    # jnp.zeros initial value trips the scan vma check).
+    zeros = jnp.zeros_like(org[..., 0])
     state = RayState(
         org=org,
         dir=dir,
-        color=jnp.ones((n, 3), org.dtype),   # COLOR_WHITE (raytracer.ts:324)
-        path=jnp.zeros((n,), org.dtype),
-        refr=start_refr,
-        status=jnp.zeros((n,), jnp.int32),
+        color=jnp.ones_like(org),            # COLOR_WHITE (raytracer.ts:324)
+        path=zeros,
+        refr=start_refr + zeros,
+        status=zeros.astype(jnp.int32),
     )
     keys = sampling.ray_keys(key, ray_id)
 
     def body(b, st):
         return _bounce(scene, cfg, accel, st, keys, b)
 
-    state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=True)
+    state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=cfg.unroll)
 
     # One final pass for rays that survived refmax bounces without a hit
     # resolution in the loop: rays still ALIVE after refmax hits -> black

@@ -87,7 +87,13 @@ def refract(dir: Array, normal: Array, eta: Array):
     c1 = -dot(dir, normal)
     s2 = (eta ** 2) * (1.0 - c1 ** 2)
     tir = s2 > 1.0
-    c2 = jnp.sqrt(jnp.clip(1.0 - s2, 0.0, None))
+    # Grad-safe sqrt: at the TIR boundary (s2 == 1, e.g. grazing hits on
+    # masked wavefront lanes) d(sqrt)/ds2 is infinite; a zero cotangent from
+    # the un-selected branch times that inf would NaN-poison scene-parameter
+    # gradients. Primal value is unchanged (c2 = 0 there).
+    inside = jnp.clip(1.0 - s2, 0.0, None)
+    pos = inside > 0.0
+    c2 = jnp.sqrt(jnp.where(pos, inside, 1.0)) * pos
     refr = eta[..., None] * dir + (eta * c1 - c2)[..., None] * normal
     refl = reflect(dir, normal)
     return jnp.where(tir[..., None], refl, refr), tir

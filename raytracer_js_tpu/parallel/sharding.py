@@ -141,7 +141,11 @@ def sharded_fit_step(mesh: Mesh, scene: Scene, cfg: RenderConfig,
     def step(params, o, d, rid, tgt):
         loss, grads = jax.value_and_grad(local_loss)(params, o, d, rid, tgt)
         loss = jax.lax.psum(loss, RAY_AXIS)
-        grads = jax.lax.psum(grads, RAY_AXIS)
+        # NOTE: no explicit psum on grads — params enter the shard as
+        # replicated (unvarying) values, and JAX's varying-axis transpose
+        # already all-reduces their cotangents (the pvary transpose IS psum),
+        # returning replicated, globally-summed gradients. An explicit psum
+        # here would double-count by the device factor.
         return loss, grads
 
     fn = shard_map(
