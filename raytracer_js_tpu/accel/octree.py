@@ -1,0 +1,423 @@
+"""Flat Morton-coded octree acceleration structure.
+
+TPU re-design of the reference's pointer-based dynamic octree
+(/root/reference/src/octree.ts, octree_space.ts, octree_entity.ts): instead
+of heap nodes with parent pointers, the build quantizes every primitive AABB
+to its *covering node* — the deepest axis-aligned cube cell that fully
+contains it (the invariant ``add_entity_to_octree`` establishes,
+octree_entity.ts:60-79/174-188) — keyed by ``(level, morton(cell))`` and
+sorted (SURVEY.md §7 "sorted Morton-coded nodes").
+
+For traversal the sorted nodes are split at ``l_cut``:
+
+* **coarse set** (level <= l_cut): the few large/straddling entities every
+  ray tests brute-force (the ground plane, scene walls — exactly the
+  entities the reference stores near the root);
+* **fine grid** (level > l_cut): entities scattered into a CSR
+  ``cell -> entity ids`` table over the 2^L-per-axis finest grid, covering
+  every finest cell their AABB overlaps. Rays march this grid with a
+  branchless 3-axis DDA (:func:`nearest_hit_octree`) — the data-parallel
+  re-expression of the reference's ``OctreeWalker.next()`` state machine
+  (octree_space.ts:316-361): same near-to-far cell enumeration, no parent
+  pointers, no per-ray control flow, fixed-shape state advanced under one
+  ``lax.while_loop``.
+
+The build is host-side NumPy (scene construction is host-side already,
+models/scene.SceneBuilder); the result is a frozen pytree. The structure is
+*discrete*: traversal results feed through ``stop_gradient`` exactly like the
+brute backend's argmin (ops/trace), so staleness under parameter optimization
+only affects which primitive is found, not gradient flow; rebuild per scene
+edit (rebuild > mutate, SURVEY.md §2 #12).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..config import OctreeConfig
+from ..models.scene import Scene
+
+Array = jnp.ndarray
+
+
+@struct.dataclass
+class OctreeAccel:
+    # root cube (covers every primitive AABB)
+    root_lo: Array          # [3] f32
+    root_size: Array        # [] f32
+    # sorted node directory (for inspection/tests; traversal uses the splits).
+    # Keys sort by (level, morton) — kept as two i32 columns because morton
+    # needs only 3*max_depth bits and jax default int is 32-bit.
+    node_morton: Array      # [M] i32
+    node_level: Array       # [M] i32
+    # coarse: global prim ids at level <= l_cut, padded with -1
+    coarse_ids: Array       # [Nc] i32
+    # fine grid CSR at resolution R = 2^max_depth
+    cell_offsets: Array     # [R^3 + 1] i32
+    cell_ids: Array         # [K] i32
+    max_depth: int = struct.field(pytree_node=False, default=4)
+    l_cut: int = struct.field(pytree_node=False, default=1)
+    max_per_cell: int = struct.field(pytree_node=False, default=8)
+
+    @property
+    def res(self) -> int:
+        return 1 << self.max_depth
+
+    @property
+    def n_nodes(self) -> int:
+        return self.node_morton.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Build (host-side NumPy)
+# ---------------------------------------------------------------------------
+
+def _morton3(ix: np.ndarray, iy: np.ndarray, iz: np.ndarray,
+             bits: int) -> np.ndarray:
+    """Interleave three ``bits``-bit coordinates into a Morton code
+    (the sort key that makes spatially-adjacent nodes adjacent in memory —
+    the flat replacement for the reference's ``(z<<2)|(y<<1)|x`` octant code,
+    octree_space.ts:45-49, applied across all levels at once)."""
+    out = np.zeros_like(ix, dtype=np.int64)
+    for b in range(bits):
+        out |= ((ix >> b) & 1).astype(np.int64) << (3 * b)
+        out |= ((iy >> b) & 1).astype(np.int64) << (3 * b + 1)
+        out |= ((iz >> b) & 1).astype(np.int64) << (3 * b + 2)
+    return out
+
+
+def covering_levels(lo: np.ndarray, hi: np.ndarray, root_lo: np.ndarray,
+                    root_size: float, max_depth: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-AABB covering node -> (level [P], cell [P,3] at that level).
+
+    The deepest level whose aligned cell fully contains the AABB — the
+    insertion invariant of ``get_covering_node_for_entity``
+    (octree_entity.ts:60-79): straddlers live high in the tree. Evaluated
+    densely for all levels 0..max_depth and reduced (no per-entity loop).
+    """
+    P = lo.shape[0]
+    levels = np.arange(max_depth + 1)
+    cell_sz = root_size / (1 << levels)                       # [L+1]
+    rel_lo = (lo - root_lo)[:, None, :]                       # [P, 1, 3]
+    rel_hi = (hi - root_lo)[:, None, :]
+    cell = np.floor(rel_lo / cell_sz[None, :, None]).astype(np.int64)
+    cell = np.clip(cell, 0, (1 << levels)[None, :, None] - 1)
+    fits = np.all(rel_hi <= (cell + 1) * cell_sz[None, :, None] + 1e-7
+                  * root_size, axis=-1)                       # [P, L+1]
+    fits[:, 0] = True                                         # root always fits
+    level = np.max(np.where(fits, levels[None, :], -1), axis=1)
+    chosen = cell[np.arange(P), level]                        # [P, 3]
+    return level.astype(np.int64), chosen
+
+
+def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
+                 l_cut: int | None = None) -> OctreeAccel:
+    """Build the flat octree over a scene's primitive AABBs."""
+    from ..models.scene import prim_aabbs
+
+    cfg = cfg or OctreeConfig()
+    lo, hi = (np.asarray(a, np.float64) for a in prim_aabbs(scene))
+    P = lo.shape[0]
+    L = int(cfg.max_depth)
+    R = 1 << L
+    if l_cut is None:
+        l_cut = max(0, min(1, L - 1))
+
+    if P == 0:
+        return OctreeAccel(
+            root_lo=jnp.zeros(3, jnp.float32), root_size=jnp.ones((), jnp.float32),
+            node_morton=jnp.zeros((0,), jnp.int32),
+            node_level=jnp.zeros((0,), jnp.int32),
+            coarse_ids=jnp.full((1,), -1, jnp.int32),
+            cell_offsets=jnp.zeros((R ** 3 + 1,), jnp.int32),
+            cell_ids=jnp.zeros((0,), jnp.int32),
+            max_depth=L, l_cut=l_cut, max_per_cell=1)
+
+    # Root cube: cubic with a small margin (the reference instead re-roots
+    # outward on demand, octree_entity.ts:125-171; with a static build we
+    # size the root up front — same capability, no mutation). Sizing over
+    # ALL AABBs degenerates when one huge entity (a ground plane) inflates
+    # the root until every small entity shares a handful of cells — so the
+    # root covers only the *small-entity population* (extent <= 8x median);
+    # oversized or out-of-root entities are forced onto the coarse
+    # brute-tested list below, which is where huge straddlers belong anyway.
+    extent = (hi - lo).max(axis=1)
+    med = np.median(extent)
+    small = extent <= 8.0 * med + 1e-12
+    if not small.any():
+        small = np.ones_like(small)
+    scene_lo = lo[small].min(axis=0)
+    scene_hi = hi[small].max(axis=0)
+    size = float((scene_hi - scene_lo).max()) * (1.0 + 1e-4) + 1e-6
+    root_lo = scene_lo - 0.5 * (size - (scene_hi - scene_lo))
+
+    level, cell = covering_levels(lo, hi, root_lo, size, L)
+    inside = np.all(lo >= root_lo - 1e-6 * size, axis=1) & np.all(
+        hi <= root_lo + size * (1 + 1e-6), axis=1)
+    level = np.where(small & inside, level, 0)   # outliers -> coarse (root)
+    key = (level << (3 * L)) | _morton3(cell[:, 0], cell[:, 1], cell[:, 2], L)
+    node_key = np.unique(key)
+    node_level = (node_key >> (3 * L)).astype(np.int32)
+    node_morton = (node_key & ((1 << (3 * L)) - 1)).astype(np.int32)
+
+    # Split: the fine-grid scatter is *overlap*-based, so a small entity that
+    # merely straddles a high-level split plane (covering level <= l_cut)
+    # still lives happily in the grid — unlike the reference, where a
+    # straddler is stuck at the root and every ray tests it
+    # (octree_entity.test.ts:61-63). Coarse is reserved for entities that
+    # would bloat the CSR: huge extent, outside the root, or overlapping
+    # more than ``cell_cap`` finest cells.
+    cell_sz = size / R
+    c_lo = np.clip(np.floor((lo - root_lo) / cell_sz), 0, R - 1).astype(int)
+    c_hi = np.clip(np.floor((hi - root_lo) / cell_sz - 1e-9), 0, R - 1).astype(int)
+    n_cells = np.prod(c_hi - c_lo + 1, axis=1)
+    cell_cap = 64
+    fine_mask = small & inside & (n_cells <= cell_cap)
+    coarse = np.where(~fine_mask)[0].astype(np.int32)
+    if coarse.size == 0:
+        coarse = np.full((1,), -1, np.int32)
+
+    # fine grid: scatter every remaining prim into ALL finest cells its AABB
+    # overlaps (conservative overlap expansion of its covering node).
+    fine = np.where(fine_mask)[0]
+    pairs_cell = []
+    pairs_id = []
+    for p in fine:                                    # host build; P is small
+        c_lo = np.clip(np.floor((lo[p] - root_lo) / cell_sz), 0, R - 1).astype(int)
+        c_hi = np.clip(np.floor((hi[p] - root_lo) / cell_sz - 1e-9), 0, R - 1).astype(int)
+        xs = np.arange(c_lo[0], c_hi[0] + 1)
+        ys = np.arange(c_lo[1], c_hi[1] + 1)
+        zs = np.arange(c_lo[2], c_hi[2] + 1)
+        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+        lin = (gx * R + gy) * R + gz
+        pairs_cell.append(lin.ravel())
+        pairs_id.append(np.full(lin.size, p, np.int64))
+    if pairs_cell:
+        pc = np.concatenate(pairs_cell)
+        pi = np.concatenate(pairs_id)
+        o = np.argsort(pc, kind="stable")
+        pc, pi = pc[o], pi[o]
+        counts = np.bincount(pc, minlength=R ** 3)
+        offsets = np.zeros(R ** 3 + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        cell_ids = pi.astype(np.int32)
+        max_per_cell = int(counts.max()) if counts.size else 1
+    else:
+        offsets = np.zeros(R ** 3 + 1, np.int64)
+        cell_ids = np.zeros((0,), np.int32)
+        max_per_cell = 1
+    if max_per_cell > scene.n_prims:
+        raise ValueError("octree cell overflow")      # TreeGrowError analogue
+
+    return OctreeAccel(
+        root_lo=jnp.asarray(root_lo, jnp.float32),
+        root_size=jnp.asarray(size, jnp.float32),
+        node_morton=jnp.asarray(node_morton),
+        node_level=jnp.asarray(node_level),
+        coarse_ids=jnp.asarray(coarse),
+        cell_offsets=jnp.asarray(offsets, jnp.int32),
+        cell_ids=jnp.asarray(cell_ids),
+        max_depth=L, l_cut=l_cut, max_per_cell=max(1, max_per_cell))
+
+
+# ---------------------------------------------------------------------------
+# Generic per-(ray, candidate) primitive test
+# ---------------------------------------------------------------------------
+
+def prim_hit_t(scene: Scene, org: Array, dir: Array, pid: Array) -> Array:
+    """First-forward hit param of primitive ``pid`` per lane; inf for pid<0.
+
+    Branchless type dispatch over the global [spheres|boxes|tris] ordering —
+    the flat replacement for the reference's virtual ``collision_info``
+    (entity.ts:58-60). Shapes: org/dir [..., 3], pid [...] -> t [...].
+    """
+    from ..ops import intersect as I
+
+    t = jnp.full(pid.shape, jnp.inf, org.dtype)
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+    pid_c = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    if scene.n_spheres:
+        i = jnp.clip(pid_c, 0, s_end - 1)
+        c, r = scene.sphere_center[i], scene.sphere_radius[i]
+        oc = org - c
+        b_half = jnp.sum(oc * dir, -1)
+        a = jnp.sum(dir * dir, -1)
+        cc = jnp.sum(oc * oc, -1) - r ** 2
+        disc = b_half ** 2 - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tn, tf = (-b_half - sq) / a, (-b_half + sq) / a
+        ts = jnp.where(tn >= 0, tn, jnp.where(tf >= 0, tf, jnp.inf))
+        ts = jnp.where(disc >= 0, ts, jnp.inf)
+        t = jnp.where(pid_c < s_end, ts, t)
+    if scene.n_boxes:
+        i = jnp.clip(pid_c - s_end, 0, scene.n_boxes - 1)
+        c, h = scene.box_center[i], scene.box_half[i]
+        te, tx, _, _ = I._slab(org, dir, c - h, c + h)
+        tb = jnp.where(te >= 0, te, jnp.where(tx >= 0, tx, jnp.inf))
+        tb = jnp.where(te <= tx, tb, jnp.inf)
+        t = jnp.where((pid_c >= s_end) & (pid_c < b_end), tb, t)
+    if scene.n_tris:
+        i = jnp.clip(pid_c - b_end, 0, scene.n_tris - 1)
+        v0, v1, v2 = scene.tri_v0[i], scene.tri_v1[i], scene.tri_v2[i]
+        e1, e2 = v1 - v0, v2 - v0
+        pv = jnp.cross(dir, e2)
+        det = jnp.sum(e1 * pv, -1)
+        inv = 1.0 / jnp.where(jnp.abs(det) < I.MT_EPS, I.MT_EPS, det)
+        sv = org - v0
+        u = jnp.sum(sv * pv, -1) * inv
+        qv = jnp.cross(sv, e1)
+        v = jnp.sum(dir * qv, -1) * inv
+        tt = jnp.sum(e2 * qv, -1) * inv
+        ok = (jnp.abs(det) >= I.MT_EPS) & (u >= 0) & (v >= 0) & (u + v <= 1) & (tt >= 0)
+        t = jnp.where(pid_c >= b_end, jnp.where(ok, tt, jnp.inf), t)
+    return jnp.where(pid >= 0, t, jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# Traversal: wavefront 3-axis DDA (the OctreeWalker re-expression)
+# ---------------------------------------------------------------------------
+
+def nearest_hit_octree(scene: Scene, accel: OctreeAccel, org: Array,
+                       dir: Array) -> Tuple[Array, Array]:
+    """Nearest forward hit via coarse brute + fine-grid DDA -> (t, pid).
+
+    Contract identical to ops/trace.nearest_hit_brute (pid -1 on miss).
+    Near-to-far guarantee: the DDA enumerates finest cells in ray order
+    (the property the reference walker tests assert,
+    test/octree-space-walker.test.ts:22-71); marching stops once the
+    per-ray best hit precedes the current cell entry (standard grid
+    early-exit), so the first cell containing the true nearest hit
+    terminates the lane.
+    """
+    n = org.shape[0]
+    dt = org.dtype
+    R = accel.res
+    cell_sz = accel.root_size / R
+
+    # --- coarse brute pass ------------------------------------------------
+    t_best = jnp.full((n,), jnp.inf, dt)
+    pid_best = jnp.full((n,), -1, jnp.int32)
+    nc = accel.coarse_ids.shape[0]
+    if nc:
+        tc = prim_hit_t(scene, org[:, None, :], dir[:, None, :],
+                        jnp.broadcast_to(accel.coarse_ids[None, :], (n, nc)))
+        j = jnp.argmin(tc, axis=1)
+        t0 = jnp.min(tc, axis=1)
+        p0 = accel.coarse_ids[j]
+        upd = t0 < t_best
+        t_best = jnp.where(upd, t0, t_best)
+        pid_best = jnp.where(upd & jnp.isfinite(t0), p0, pid_best)
+
+    if accel.cell_ids.shape[0] == 0:
+        return t_best, pid_best
+
+    # --- fine-grid DDA ----------------------------------------------------
+    # Root slab: entry/exit params of the grid cube.
+    inv = 1.0 / jnp.where(jnp.abs(dir) < 1e-12,
+                          jnp.where(dir < 0, -1e-12, 1e-12), dir)
+    lo = accel.root_lo
+    hi = accel.root_lo + accel.root_size
+    ta = (lo - org) * inv
+    tb = (hi - org) * inv
+    t_enter = jnp.max(jnp.minimum(ta, tb), axis=-1)
+    t_exit = jnp.min(jnp.maximum(ta, tb), axis=-1)
+    t_cur = jnp.maximum(t_enter, 0.0) + 1e-7
+    in_grid = t_cur <= t_exit
+
+    p_ent = org + t_cur[:, None] * dir
+    cell = jnp.clip(jnp.floor((p_ent - lo) / cell_sz).astype(jnp.int32),
+                    0, R - 1)                                     # [N, 3]
+    step = jnp.where(dir >= 0, 1, -1).astype(jnp.int32)           # [N, 3]
+    # param at which the ray crosses the next cell boundary per axis
+    next_bound = lo + (cell + (step > 0)).astype(dt) * cell_sz
+    t_next = (next_bound - org) * inv                             # [N, 3]
+
+    max_steps = 3 * R + 2
+
+    def cond(state):
+        _, _, _, _, alive, it = state
+        return jnp.logical_and(jnp.any(alive), it < max_steps)
+
+    def body(state):
+        t_best, pid_best, cell, t_next, alive, it = state
+        lin = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
+        base = accel.cell_offsets[lin]
+        cnt = accel.cell_offsets[lin + 1] - base
+
+        def test(j, carry):
+            t_best, pid_best = carry
+            idx = jnp.clip(base + j, 0, accel.cell_ids.shape[0] - 1)
+            pid = jnp.where((j < cnt) & alive, accel.cell_ids[idx], -1)
+            t = prim_hit_t(scene, org, dir, pid)
+            upd = t < t_best
+            return (jnp.where(upd, t, t_best),
+                    jnp.where(upd, pid, pid_best))
+
+        t_best, pid_best = jax.lax.fori_loop(
+            0, accel.max_per_cell, test, (t_best, pid_best))
+
+        # advance to the next cell along the smallest t_next axis — the
+        # bit-vector neighbor step of the reference walker
+        # (octree_space.ts:344-352) without pointers
+        t_step = jnp.min(t_next, axis=-1)
+        ax = jnp.argmin(t_next, axis=-1)
+        onehot = (jnp.stack([ax == 0, ax == 1, ax == 2], -1)).astype(jnp.int32)
+        cell_n = cell + onehot * step
+        t_next_n = t_next + onehot.astype(dt) * (cell_sz * jnp.abs(inv))
+        out = ((cell_n < 0) | (cell_n >= R)).any(axis=-1)
+        done = (~jnp.isinf(t_best) & (t_best <= t_step)) | out | (t_step > t_exit)
+        alive_n = alive & ~done
+        cell = jnp.where(alive_n[:, None], cell_n, cell)
+        t_next = jnp.where(alive_n[:, None], t_next_n, t_next)
+        return t_best, pid_best, cell, t_next, alive_n, it + 1
+
+    t_best, pid_best, *_ = jax.lax.while_loop(
+        cond, body, (t_best, pid_best, cell, t_next, in_grid, 0))
+    pid_best = jnp.where(jnp.isfinite(t_best), pid_best, -1)
+    return t_best, pid_best
+
+
+def walk_cells(accel: OctreeAccel, org, dir, max_steps: int | None = None):
+    """Finest-cell itinerary of one ray, near -> far (host-side, for tests).
+
+    The observable contract of the reference walker
+    (test/octree-space-walker.test.ts): cells pierced by the ray in order.
+    """
+    org = np.asarray(org, np.float64)
+    dir = np.asarray(dir, np.float64)
+    R = accel.res
+    lo = np.asarray(accel.root_lo, np.float64)
+    size = float(accel.root_size)
+    cell_sz = size / R
+    inv = 1.0 / np.where(np.abs(dir) < 1e-12,
+                         np.where(dir < 0, -1e-12, 1e-12), dir)
+    ta = (lo - org) * inv
+    tb = (lo + size - org) * inv
+    t_enter = np.max(np.minimum(ta, tb))
+    t_exit = np.min(np.maximum(ta, tb))
+    t = max(t_enter, 0.0) + 1e-9
+    if t > t_exit:
+        return []
+    cell = np.clip(((org + t * dir - lo) / cell_sz).astype(int), 0, R - 1)
+    step = np.where(dir >= 0, 1, -1).astype(int)
+    nb = lo + (cell + (step > 0)) * cell_sz
+    t_next = (nb - org) * inv
+    out = []
+    for _ in range(max_steps or (3 * R + 2)):
+        out.append(tuple(cell))
+        ax = int(np.argmin(t_next))
+        if t_next[ax] > t_exit:
+            break
+        cell = cell.copy()
+        cell[ax] += step[ax]
+        if cell[ax] < 0 or cell[ax] >= R:
+            break
+        t_next = t_next.copy()
+        t_next[ax] += cell_sz * abs(inv[ax])
+    return out

@@ -66,6 +66,12 @@ class Scene:
     default_refr: Array    # [] f32: empty-space substance (raytracer.ts:38-39)
     # sky: equirect texture lookup on miss (sky/sky_sphere.ts:22-27)
     sky_tex: int = struct.field(pytree_node=False, default=0)
+    # static capability flags — let jit drop whole shading sub-graphs for
+    # scenes that cannot exercise them (a transmission substance query is an
+    # [N, P] containment matrix per bounce; the roughness scatter draws
+    # per-ray threefry bits per bounce). Defaults are conservative.
+    has_transmission: bool = struct.field(pytree_node=False, default=True)
+    has_rough: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def n_spheres(self) -> int:
@@ -257,4 +263,8 @@ class SceneBuilder:
             sub_refr=jnp.asarray(np.array(self._substances, np.float32)),
             default_refr=jnp.asarray(self._default_refr, jnp.float32),
             sky_tex=int(self._sky_tex),
+            has_transmission=any(
+                int(m[0]) == int(ResponseType.TRANSMISSION)
+                for m in self._materials),
+            has_rough=any(float(m[3]) > 0.0 for m in self._materials),
         )

@@ -311,20 +311,25 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
 
     # --- REFLECTION (mirror) -------------------------------------------------
     refl_dir = reflect(state.dir, normal)
-    bounce_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, bounce)
-    refl_dir = sampling.scatter_direction(bounce_keys, refl_dir, normal,
-                                          roughness)
-    # --- TRANSMISSION --------------------------------------------------------
+    if scene.has_rough:
+        bounce_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, bounce)
+        refl_dir = sampling.scatter_direction(bounce_keys, refl_dir, normal,
+                                              roughness)
+    # --- TRANSMISSION (compiled out for scenes without it) -------------------
     adv_point = point + EPS_ADVANCE * state.dir        # ε-advance, OLD dir
-    target_refr, do_refract = substance_refr_at(scene, adv_point, state.refr)
-    eta = state.refr / jnp.maximum(target_refr, 1e-6)
-    refr_dir, _tir = refract(state.dir, normal, eta)
-    trans_dir = jnp.where(do_refract[:, None], refr_dir, state.dir)
-    new_refr = jnp.where(do_refract, target_refr, state.refr)
+    if scene.has_transmission:
+        target_refr, do_refract = substance_refr_at(scene, adv_point,
+                                                    state.refr)
+        eta = state.refr / jnp.maximum(target_refr, 1e-6)
+        refr_dir, _tir = refract(state.dir, normal, eta)
+        trans_dir = jnp.where(do_refract[:, None], refr_dir, state.dir)
+        new_refr = jnp.where(do_refract, target_refr, state.refr)
+    else:
+        trans_dir, new_refr = state.dir, state.refr
 
     # --- select continuation -------------------------------------------------
     cont_mirror = hit & ~is_light & is_refl & is_mirror
-    cont_trans = hit & ~is_light & is_trans
+    cont_trans = hit & ~is_light & is_trans & scene.has_transmission
     cont = cont_mirror | cont_trans
 
     new_dir = jnp.where(cont_trans[:, None], trans_dir,
@@ -376,7 +381,8 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         refr=start_refr + zeros,
         status=zeros.astype(jnp.int32),
     )
-    keys = sampling.ray_keys(key, ray_id)
+    # Per-ray key folding is only needed when some material scatters.
+    keys = sampling.ray_keys(key, ray_id) if scene.has_rough else None
 
     def body(b, st):
         return _bounce(scene, cfg, accel, st, keys, b)
