@@ -1,0 +1,256 @@
+"""Pallas fused nearest-hit kernel.
+
+The XLA brute path (ops/trace.nearest_hit_brute) materializes [N, P] hit
+matrices in HBM (~400 MB per temp at 1080p x 50 prims — measured 33 ms for
+the sphere test alone on a v5e). This kernel fuses intersection + running
+min + argmin so only the [N] (t, pid) results leave VMEM.
+
+Layout: a grid over ray blocks; each program holds R rays on *sublanes* and
+streams prim tiles of K on *lanes* ([R, K] VPU tiles), keeping the whole
+primitive table resident in VMEM as type-major rows (``[4, S]`` spheres,
+``[6, B]`` boxes, ``[9, T]`` triangles — 100k prims ≈ 1.6 MB, fits easily).
+
+Semantics are identical to ops/trace.nearest_hit_brute: first-forward param
+per primitive (the reference's FORWARD filter, intersection.ts:207-216),
+global argmin, pid -1 on miss. The hit search is discrete and runs under
+stop_gradient in the trace loop, so the kernel needs no custom VJP — the
+differentiable surface recompute (ops/intersect ``*_surface``) stays in XLA.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import Scene
+
+Array = jnp.ndarray
+
+#: rays per program (sublane dim, multiple of 8)
+BLOCK_R = 256
+#: primitives per streamed tile (lane dim, multiple of 128)
+BLOCK_K = 512
+
+_INF = float(np.inf)   # plain python float: a jnp scalar here would be a
+                       # captured constant, which pallas_call rejects
+#: |dir| floor matching ops/intersect.SLAB_DIR_EPS
+_SLAB_EPS = 1e-12
+_MT_EPS = 1e-9
+
+
+def _first_forward(t_near, t_far, valid):
+    t = jnp.where(t_near >= 0.0, t_near, jnp.where(t_far >= 0.0, t_far, _INF))
+    return jnp.where(valid, t, _INF)
+
+
+def _update(best, t_mat, k0, gid_base):
+    """Fold an [R, K] hit matrix into the (t_best, pid_best) running state."""
+    t_best, pid_best = best
+    tmin = jnp.min(t_mat, axis=1, keepdims=True)            # [R, 1]
+    amin = jnp.argmin(t_mat, axis=1).astype(jnp.int32)[:, None]
+    upd = tmin < t_best
+    t_best = jnp.where(upd, tmin, t_best)
+    pid_best = jnp.where(upd, amin + (k0 + gid_base), pid_best)
+    return t_best, pid_best
+
+
+def _nearest_hit_kernel(org_ref, dir_ref, sph_ref, box_ref, tri_ref,
+                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays):
+    i = pl.program_id(0)
+    ox = org_ref[:, 0:1]
+    oy = org_ref[:, 1:2]
+    oz = org_ref[:, 2:3]
+    dx = dir_ref[:, 0:1]
+    dy = dir_ref[:, 1:2]
+    dz = dir_ref[:, 2:3]
+    r_blk = ox.shape[0]
+
+    a = dx * dx + dy * dy + dz * dz                          # [R, 1]
+    inv_a = 1.0 / a
+    # safe reciprocal direction for the slab test
+    def safe_inv(d):
+        tiny = jnp.abs(d) < _SLAB_EPS
+        d_safe = jnp.where(tiny, jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS), d)
+        return 1.0 / d_safe
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_blk, BLOCK_K), 1)
+
+    t_best = jnp.full((r_blk, 1), _INF, jnp.float32)
+    pid_best = jnp.full((r_blk, 1), -1, jnp.int32)
+    best = (t_best, pid_best)
+
+    # ---- spheres: rows cx, cy, cz, r ------------------------------------
+    def sphere_tile(k, best):
+        k0 = k * BLOCK_K
+        sl = pl.ds(k0, BLOCK_K)
+        cx = sph_ref[0:1, sl]
+        cy = sph_ref[1:2, sl]
+        cz = sph_ref[2:3, sl]
+        rr = sph_ref[3:4, sl]
+        ocx = ox - cx                                        # [R, K]
+        ocy = oy - cy
+        ocz = oz - cz
+        b_half = ocx * dx + ocy * dy + ocz * dz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+        disc = b_half * b_half - a * c
+        valid = (disc >= 0.0) & (lane + k0 < n_sph)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = (-b_half - sq) * inv_a
+        t_far = (-b_half + sq) * inv_a
+        return _update(best, _first_forward(t_near, t_far, valid), k0, 0)
+
+    best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K), sphere_tile, best)
+
+    # ---- boxes: rows cx, cy, cz, hx, hy, hz -----------------------------
+    def box_tile(k, best):
+        k0 = k * BLOCK_K
+        sl = pl.ds(k0, BLOCK_K)
+        cx = box_ref[0:1, sl]
+        cy = box_ref[1:2, sl]
+        cz = box_ref[2:3, sl]
+        hx = box_ref[3:4, sl]
+        hy = box_ref[4:5, sl]
+        hz = box_ref[5:6, sl]
+
+        def axis_slab(o, inv, c, h):
+            ta = (c - h - o) * inv
+            tb = (c + h - o) * inv
+            return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+        t0x, t1x = axis_slab(ox, ix, cx, hx)
+        t0y, t1y = axis_slab(oy, iy, cy, hy)
+        t0z, t1z = axis_slab(oz, iz, cz, hz)
+        t_enter = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
+        t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+        valid = (t_enter <= t_exit) & (lane + k0 < n_box)
+        return _update(best, _first_forward(t_enter, t_exit, valid),
+                       k0, n_sph)
+
+    best = jax.lax.fori_loop(0, pl.cdiv(n_box, BLOCK_K), box_tile, best)
+
+    # ---- triangles: rows v0x..v0z, v1x..v1z, v2x..v2z -------------------
+    def tri_tile(k, best):
+        k0 = k * BLOCK_K
+        sl = pl.ds(k0, BLOCK_K)
+        v0x, v0y, v0z = tri_ref[0:1, sl], tri_ref[1:2, sl], tri_ref[2:3, sl]
+        v1x, v1y, v1z = tri_ref[3:4, sl], tri_ref[4:5, sl], tri_ref[5:6, sl]
+        v2x, v2y, v2z = tri_ref[6:7, sl], tri_ref[7:8, sl], tri_ref[8:9, sl]
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        # p = dir x e2
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, _MT_EPS, det)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = (sx * px + sy * py + sz * pz) * inv_det
+        # q = s x e1
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        valid = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (t >= 0.0) & (lane + k0 < n_tri))
+        return _update(best, jnp.where(valid, t, _INF), k0, n_sph + n_box)
+
+    best = jax.lax.fori_loop(0, pl.cdiv(n_tri, BLOCK_K), tri_tile, best)
+
+    t_best, pid_best = best
+    # mask rows past the wavefront tail (padded rays)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0) + i * r_blk
+    live = row < n_rays
+    t_ref[:, :] = jnp.where(live, t_best, _INF)
+    pid_ref[:, :] = jnp.where(live & (t_best < _INF), pid_best, -1)
+
+
+def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
+    """Stack 1-D prim columns into a [rows, pad_to] row-major table."""
+    out = jnp.zeros((rows, pad_to), jnp.float32)
+    for r, a in enumerate(arrs):
+        if a.shape[0]:
+            out = out.at[r, : a.shape[0]].set(a.astype(jnp.float32))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
+    n_sph, n_box, n_tri, n_rays = meta
+    n_pad = org.shape[0]
+    grid = (n_pad // BLOCK_R,)
+    kern = functools.partial(_nearest_hit_kernel, n_sph=n_sph, n_box=n_box,
+                             n_tri=n_tri, n_rays=n_rays)
+    t, pid = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(box.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(org, dir, sph, box, tri)
+    return t[:, 0], pid[:, 0]
+
+
+def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
+                       interpret: bool | None = None) -> Tuple[Array, Array]:
+    """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
+
+    ``interpret`` defaults to True off-TPU so the same code path is testable
+    on the CPU mesh (pallas interpret mode).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.shape[0]
+    n_pad = -(-n // BLOCK_R) * BLOCK_R
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        org = jnp.pad(org, pad)
+        dir = jnp.pad(dir, pad, constant_values=1.0)  # keep dirs nonzero
+
+    k_pad = max(BLOCK_K, 1)
+
+    def pad_k(x):
+        return -(-max(x, 1) // k_pad) * k_pad
+
+    sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
+                     scene.sphere_center[:, 2], scene.sphere_radius,
+                     rows=4, pad_to=pad_k(scene.n_spheres))
+    box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
+                     scene.box_center[:, 2], scene.box_half[:, 0],
+                     scene.box_half[:, 1], scene.box_half[:, 2],
+                     rows=6, pad_to=pad_k(scene.n_boxes))
+    tri = _pack_rows(scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+                     scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
+                     scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
+                     rows=9, pad_to=pad_k(scene.n_tris))
+    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
+    t, pid = _nearest_hit_call(org, dir, sph, box, tri, meta,
+                               interpret=interpret)
+    return t[:n], pid[:n]

@@ -1,0 +1,135 @@
+"""Inverse-rendering fit loop (new capability; BASELINE.json config 5).
+
+The reference engine is forward-only; differentiability is the point of this
+re-design: pixel loss -> gradients on material colors, entity geometry and
+camera pose (SURVEY.md §2 #13 "differentiable leaves"), optimized with optax.
+
+Multi-view batching: config 5 renders an 8-view batch per step; views vmap
+over cameras, and under a device mesh the (view, ray) space is sharded via
+:mod:`raytracer_js_tpu.parallel.sharding` with psum-reduced gradients.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RenderConfig
+from ..models.camera import Camera, pixel_rays
+from ..models.scene import Scene
+from ..parallel.sharding import RAY_AXIS, float_partition, shard_map
+from ..render import render_rays
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    steps: int = 100
+    lr: float = 1e-2
+    #: optional predicate (leaf_index, leaf) -> bool selecting which float
+    #: leaves train; default trains everything continuous.
+    optimizer: str = "adam"   # "adam" | "sgd"
+
+
+@dataclasses.dataclass
+class FitResult:
+    scene: Scene
+    losses: list
+
+
+def _make_opt(cfg: FitConfig):
+    if cfg.optimizer == "adam":
+        return optax.adam(cfg.lr)
+    if cfg.optimizer == "sgd":
+        return optax.sgd(cfg.lr)
+    raise ValueError(cfg.optimizer)
+
+
+def multiview_loss(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
+                   targets: Array, key: Array) -> Array:
+    """Mean-squared pixel loss over a view batch.
+
+    ``targets`` is [V, h*w, 3] (flattened per view). Views share the scene;
+    each view's rays get distinct global ids so RNG stays sharding-stable.
+    """
+    total = jnp.zeros((), jnp.float32)
+    n_pix = 0
+    for v, cam in enumerate(cameras):
+        org, dirs = pixel_rays(cam)
+        rid = jnp.arange(org.shape[0], dtype=jnp.int32) + v * org.shape[0]
+        colors = render_rays(scene, cfg, org, dirs, key, rid)
+        total = total + jnp.sum((colors - targets[v]) ** 2)
+        n_pix += org.shape[0]
+    return total / n_pix
+
+
+def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
+        targets: Array, fit_cfg: FitConfig = FitConfig(),
+        key: Optional[Array] = None,
+        trainable: Optional[Callable[[int, Array], bool]] = None,
+        mesh=None) -> FitResult:
+    """Optimize the scene's float leaves to match ``targets``.
+
+    ``trainable(i, leaf)`` masks which float leaves receive updates (by
+    zeroing their gradients) — e.g. train texture colors only. With ``mesh``
+    the per-step gradient runs ray-sharded with an implicit psum (see
+    parallel/sharding.sharded_fit_step notes).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    params, rebuild = float_partition(scene)
+    opt = _make_opt(fit_cfg)
+    opt_state = opt.init(params)
+
+    def loss_fn(params, key):
+        return multiview_loss(rebuild(params), cfg, cameras, targets, key)
+
+    if mesh is None:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        # rays of every view sharded; cameras/targets replicated for
+        # simplicity (targets [V, N, 3] shard over N)
+        def sharded(params, targets_shard, key):
+            def loss_local(params):
+                total = jnp.zeros((), jnp.float32)
+                n_pix = 0
+                for v, cam in enumerate(cameras):
+                    org, dirs = pixel_rays(cam)
+                    n = org.shape[0]
+                    n_dev = mesh.devices.size
+                    shard = n // n_dev
+                    idx = jax.lax.axis_index(RAY_AXIS)
+                    sl = jax.lax.dynamic_slice_in_dim(org, idx * shard, shard)
+                    dl = jax.lax.dynamic_slice_in_dim(dirs, idx * shard, shard)
+                    rid = (jnp.arange(shard, dtype=jnp.int32)
+                           + idx * shard + v * n)
+                    colors = render_rays(rebuild(params), cfg, sl, dl, key, rid)
+                    total = total + jnp.sum((colors - targets_shard[v]) ** 2)
+                    n_pix += n
+                return total / n_pix
+
+            loss, grads = jax.value_and_grad(loss_local)(params)
+            return jax.lax.psum(loss, RAY_AXIS), grads
+
+        fn = shard_map(sharded, mesh=mesh,
+                       in_specs=(P(), P(None, RAY_AXIS), P()),
+                       out_specs=(P(), P()))
+        grad_fn = jax.jit(lambda p, k: fn(p, targets, k))
+
+    losses = []
+    for step in range(fit_cfg.steps):
+        k = jax.random.fold_in(key, step)
+        loss, grads = grad_fn(params, k)
+        if trainable is not None:
+            grads = [g if trainable(i, p) else jnp.zeros_like(g)
+                     for i, (g, p) in enumerate(zip(grads, params))]
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return FitResult(scene=rebuild(params), losses=losses)
