@@ -1,0 +1,131 @@
+"""View-layer tests: exposure accumulation, tone mapping, screen quantize.
+
+Property styles mirror the reference's camera/exposure semantics
+(SURVEY.md §2 #28-32); the quirky 1/(1+k) progressive weight is asserted
+exactly (exposure_buffer.ts:53-60).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_js_tpu.config import ToneMapConfig, ToneMapperKind
+from raytracer_js_tpu.models.camera import make_camera, pixel_rays, rotate_h, rotate_v
+from raytracer_js_tpu.view import exposure as ex
+from raytracer_js_tpu.view import screen
+from raytracer_js_tpu.view.tonemap import dynamic_range, tonemap
+
+
+def test_accumulate_reference_weights():
+    """Frame k (1-based) enters with weight 1/(1+k) — the reference's
+    post-increment running mean, NOT the textbook 1/k."""
+    buf = ex.new_exposure_buffer(2, 2)
+    f1 = jnp.ones((2, 2, 3))
+    buf = ex.accumulate(buf, f1)
+    np.testing.assert_allclose(np.asarray(buf.pixels), 0.5)  # 1 * 1/2
+    f2 = jnp.zeros((2, 2, 3))
+    buf = ex.accumulate(buf, f2)
+    # w = 1/3: 0 * 1/3 + 0.5 * 2/3
+    np.testing.assert_allclose(np.asarray(buf.pixels), 1.0 / 3.0)
+    assert int(buf.frame_count) == 2
+
+
+def test_accumulate_max_frames_freezes():
+    buf = ex.new_exposure_buffer(1, 1, max_frames=1)
+    buf = ex.accumulate(buf, jnp.ones((1, 1, 3)))
+    frozen = ex.accumulate(buf, jnp.zeros((1, 1, 3)))
+    np.testing.assert_array_equal(np.asarray(frozen.pixels),
+                                  np.asarray(buf.pixels))
+    assert int(frozen.frame_count) == 1
+
+
+def test_reset():
+    buf = ex.accumulate(ex.new_exposure_buffer(1, 1), jnp.ones((1, 1, 3)))
+    buf = ex.reset(buf)
+    assert int(buf.frame_count) == 0
+    np.testing.assert_array_equal(np.asarray(buf.pixels), 0.0)
+
+
+def test_luma_stats_bt601():
+    px = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                      [[0.0, 0.0, 1.0], [1.0, 1.0, 1.0]]])
+    buf = ex.ExposureBuffer(pixels=px, frame_count=jnp.ones((), jnp.int32))
+    y = np.asarray(ex.luma(px))
+    np.testing.assert_allclose(y, [[0.299, 0.587], [0.114, 1.0]], atol=1e-6)
+    mean = float(ex.luma_mean(buf))
+    np.testing.assert_allclose(mean, y.mean(), rtol=1e-6)
+    np.testing.assert_allclose(float(ex.luma_variance(buf, mean)),
+                               y.var(), rtol=1e-5)
+    np.testing.assert_allclose(float(ex.luma_absdev(buf, mean)),
+                               np.abs(y - y.mean()).mean(), rtol=1e-5)
+
+
+def test_tonemap_identity_window():
+    buf = ex.accumulate(ex.new_exposure_buffer(2, 2),
+                        jnp.full((2, 2, 3), 2.0))
+    lo, hi = dynamic_range(buf, ToneMapConfig(kind=ToneMapperKind.IDENTITY))
+    assert float(lo) == 0.0 and float(hi) == 1.0
+    img = np.asarray(tonemap(buf, ToneMapConfig(kind=ToneMapperKind.IDENTITY)))
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_tonemap_stddev_window_floor():
+    """hi = min(mean+dev, max); lo floored at min_dynamic re-derives hi
+    (tone_mapping.ts:48-63)."""
+    buf = ex.accumulate(ex.new_exposure_buffer(2, 2),
+                        jnp.full((2, 2, 3), 1e-6))
+    cfg = ToneMapConfig(kind=ToneMapperKind.STDDEV_AROUND_MEAN,
+                        dynamic_range=4, min_dynamic=1e-3)
+    lo, hi = dynamic_range(buf, cfg)
+    assert np.isclose(float(lo), 1e-3)
+    assert np.isclose(float(hi), 1e-3 * 16)
+
+
+def test_screen_quantize_and_roundtrip(tmp_path):
+    img = np.linspace(0, 1, 12).reshape(2, 2, 3)
+    u8 = screen.quantize_u8(img)
+    assert u8.dtype == np.uint8 and u8.max() == 255 and u8.min() == 0
+    p = screen.write_png(tmp_path / "t.png", img)
+    assert p.exists()
+    p2 = screen.write_npy(tmp_path / "t2", img)
+    np.testing.assert_allclose(np.load(p2), img.astype(np.float32))
+
+
+def test_camera_direction_norm_invariant():
+    """Every pixel direction is unit length after arbitrary rotations —
+    the reference camera property test (test/view-camera.test.ts:17-49)."""
+    cam = make_camera((0, 0, 0), 33, 17, np.pi, np.pi / 3)
+    cam = rotate_h(cam, 0.7)
+    cam = rotate_v(cam, -0.4)
+    _, dirs = pixel_rays(cam)
+    n = np.linalg.norm(np.asarray(dirs), axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-5)
+
+
+def test_camera_rotations_preserve_orthonormal_triad():
+    cam = make_camera((0, 0, 0), 8, 8, np.pi / 2, np.pi / 2)
+    cam = rotate_v(rotate_h(cam, 1.1), 0.6)
+    f, l, u = (np.asarray(x) for x in (cam.front, cam.left, cam.up))
+    for v in (f, l, u):
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-6)
+    np.testing.assert_allclose([f @ l, f @ u, l @ u], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.cross(f, l), u, atol=1e-6)
+
+
+def test_progressive_render_converges_against_single_frame():
+    """progressive_render over k frames of a deterministic scene equals the
+    single frame (weights sum to k/(k+1)... the running mean of identical
+    frames converges to the frame)."""
+    from raytracer_js_tpu import RenderConfig
+    from raytracer_js_tpu.view.view import progressive_render
+    from scenes import config1_camera, config1_cfg, config1_scene
+
+    scene = config1_scene()
+    cam = config1_camera(8, 8)
+    out = progressive_render(scene, cam, config1_cfg(),
+                             ToneMapConfig(kind=ToneMapperKind.IDENTITY),
+                             frames=3)
+    from raytracer_js_tpu import render_hdr
+
+    single = np.clip(np.asarray(render_hdr(scene, cam, config1_cfg())), 0, 1)
+    # after 3 identical frames the buffer holds 3/4 of the frame
+    np.testing.assert_allclose(np.asarray(out), single * 0.75, atol=1e-6)
