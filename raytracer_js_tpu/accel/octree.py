@@ -183,34 +183,16 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
         coarse = np.full((1,), -1, np.int32)
 
     # fine grid: scatter every remaining prim into ALL finest cells its AABB
-    # overlaps (conservative overlap expansion of its covering node).
-    fine = np.where(fine_mask)[0]
-    pairs_cell = []
-    pairs_id = []
-    for p in fine:                                    # host build; P is small
-        c_lo = np.clip(np.floor((lo[p] - root_lo) / cell_sz), 0, R - 1).astype(int)
-        c_hi = np.clip(np.floor((hi[p] - root_lo) / cell_sz - 1e-9), 0, R - 1).astype(int)
-        xs = np.arange(c_lo[0], c_hi[0] + 1)
-        ys = np.arange(c_lo[1], c_hi[1] + 1)
-        zs = np.arange(c_lo[2], c_hi[2] + 1)
-        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
-        lin = (gx * R + gy) * R + gz
-        pairs_cell.append(lin.ravel())
-        pairs_id.append(np.full(lin.size, p, np.int64))
-    if pairs_cell:
-        pc = np.concatenate(pairs_cell)
-        pi = np.concatenate(pairs_id)
-        o = np.argsort(pc, kind="stable")
-        pc, pi = pc[o], pi[o]
-        counts = np.bincount(pc, minlength=R ** 3)
-        offsets = np.zeros(R ** 3 + 1, np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        cell_ids = pi.astype(np.int32)
-        max_per_cell = int(counts.max()) if counts.size else 1
-    else:
-        offsets = np.zeros(R ** 3 + 1, np.int64)
-        cell_ids = np.zeros((0,), np.int32)
-        max_per_cell = 1
+    # overlaps (conservative overlap expansion of its covering node). The
+    # scatter is the scene-build hot loop at 1M prims — native scenekit
+    # (native/scenekit.cpp sk_fill_csr) when built, NumPy otherwise; both
+    # produce identical CSR.
+    from .. import native
+
+    offsets, cell_ids, max_per_cell = native.grid_csr(
+        lo.astype(np.float32), hi.astype(np.float32), fine_mask,
+        np.asarray(root_lo, np.float32), size, L)
+    max_per_cell = max(1, max_per_cell)
     if max_per_cell > scene.n_prims:
         raise ValueError("octree cell overflow")      # TreeGrowError analogue
 
