@@ -259,6 +259,7 @@ class SceneBuilder:
                 ref=jnp.asarray(np.array(self._tex_ref, np.int32)),
                 solid_rgb=jnp.asarray(np.stack(self._tex_solid)),
                 atlas=jnp.asarray(atlas),
+                has_images=bool(self._images),
             ),
             sub_refr=jnp.asarray(np.array(self._substances, np.float32)),
             default_refr=jnp.asarray(self._default_refr, jnp.float32),

@@ -33,6 +33,9 @@ class TextureTable:
     ref: Array         # [X] i32: row into atlas for IMAGE kind (0 for solid)
     solid_rgb: Array   # [X, 3] f32: solid color / image fallback
     atlas: Array       # [I, H, W, 3] f32 (I >= 1; row 0 is a dummy when unused)
+    #: static: any IMAGE-kind entries? When False the atlas gather is
+    #: compiled out entirely (solid colors ride a one-hot MXU matmul).
+    has_images: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def n_images(self) -> int:
@@ -52,12 +55,17 @@ def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
     bottom-up storage at decode time (texture_image.ts:112-127); we keep
     images top-down in memory and flip at sample time instead.
     """
+    from ..ops.gather import gather_cols
+
     tex_id = jnp.clip(tex_id, 0, tex.kind.shape[0] - 1)
-    solid = tex.solid_rgb[tex_id]
+    if not tex.has_images:
+        (solid,) = gather_cols(tex_id, tex.solid_rgb)
+        return solid
+    solid, kind, img_row = gather_cols(tex_id, tex.solid_rgb, tex.kind,
+                                       tex.ref)
     h, w = tex.atlas.shape[1], tex.atlas.shape[2]
     ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    img_row = tex.ref[tex_id]
     img = tex.atlas[img_row, (h - 1) - iy, ix]
-    is_img = (tex.kind[tex_id] == int(TextureKind.IMAGE))[..., None]
+    is_img = (kind == int(TextureKind.IMAGE))[..., None]
     return jnp.where(is_img, img, solid)

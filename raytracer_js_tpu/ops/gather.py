@@ -1,0 +1,69 @@
+"""MXU-friendly row gathers.
+
+XLA lowers ``table[idx]`` per-ray gathers on TPU to slow scatter/gather
+sequences; for the small tables this framework gathers from (primitive
+params, material columns, solid-texture colors — tens to thousands of rows)
+the fast TPU idiom is a one-hot matmul: ``one_hot(idx) @ table`` rides the
+MXU as a dense [N, K] x [K, C] contraction. Above ``ONE_HOT_MAX_ROWS`` the
+[N, K] one-hot would dominate HBM traffic, so we fall back to jnp.take.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+#: one-hot gather cutoff: [N, K] f32 at N=2M, K=1024 is 8 GB *logical* but
+#: XLA fuses the iota==idx compare into the matmul operand, so the real cost
+#: is the MXU pass ~ N*K*C MACs; past ~1k rows jnp.take wins again.
+ONE_HOT_MAX_ROWS = 1024
+
+
+def gather_rows(table: Array, idx: Array) -> Array:
+    """``table[idx]`` for a [K, C...] table and [N] int idx -> [N, C...].
+
+    One-hot matmul for small K (MXU), jnp.take otherwise.
+    """
+    k = table.shape[0]
+    if k == 0:
+        raise ValueError("empty table")
+    if k > ONE_HOT_MAX_ROWS or table.ndim > 2:
+        return jnp.take(table, idx, axis=0)
+    tab2 = table[:, None] if table.ndim == 1 else table
+    oh = jax.nn.one_hot(idx, k, dtype=tab2.dtype)          # [N, K]
+    out = oh @ tab2                                        # MXU
+    return out[..., 0] if table.ndim == 1 else out
+
+
+def gather_cols(idx: Array, *tables: Array) -> tuple:
+    """Gather the same [N] idx from several [K]/[K,C] tables, sharing the
+    one-hot operand so XLA computes it once."""
+    if not tables:
+        return ()
+    k = tables[0].shape[0]
+    if k > ONE_HOT_MAX_ROWS:
+        return tuple(jnp.take(t, idx, axis=0) for t in tables)
+    # concatenate as columns -> single matmul -> split
+    cols = []
+    widths = []
+    for t in tables:
+        t2 = t[:, None] if t.ndim == 1 else t
+        cols.append(t2.astype(jnp.float32))
+        widths.append(t2.shape[1])
+    cat = jnp.concatenate(cols, axis=1)                    # [K, sum]
+    oh = jax.nn.one_hot(idx, k, dtype=jnp.float32)
+    out = oh @ cat                                         # [N, sum]
+    res = []
+    off = 0
+    for t, w in zip(tables, widths):
+        piece = out[:, off:off + w]
+        off += w
+        if t.ndim == 1:
+            piece = piece[:, 0]
+        if jnp.issubdtype(t.dtype, jnp.integer) or t.dtype == jnp.bool_:
+            piece = jnp.round(piece).astype(t.dtype)
+        else:
+            piece = piece.astype(t.dtype)
+        res.append(piece)
+    return tuple(res)

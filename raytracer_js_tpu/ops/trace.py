@@ -66,6 +66,7 @@ from ..config import EPS_ADVANCE, JS_EPSILON, HitBackend, RayStatus, RenderConfi
 from ..models import textures as tex_mod
 from ..models.scene import Scene, prim_volumes
 from . import intersect, sampling
+from .gather import gather_cols, gather_rows
 from .vecmath import dot, reflect, refract, uv_map_sphere
 
 Array = jnp.ndarray
@@ -176,8 +177,7 @@ def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
 
     if scene.n_spheres:
         idx = jnp.clip(pid_c, 0, s_end - 1)
-        c = scene.sphere_center[idx]
-        r = scene.sphere_radius[idx]
+        c, r = gather_cols(idx, scene.sphere_center, scene.sphere_radius)
         t, p, nrm, (u, v) = intersect.sphere_surface(org, dir, c, r)
         m = (pid_c < s_end)
         point = jnp.where(m[:, None], p, point)
@@ -187,8 +187,7 @@ def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
         tt = jnp.where(m, t, tt)
     if scene.n_boxes:
         idx = jnp.clip(pid_c - s_end, 0, scene.n_boxes - 1)
-        c = scene.box_center[idx]
-        h = scene.box_half[idx]
+        c, h = gather_cols(idx, scene.box_center, scene.box_half)
         t, p, nrm, (u, v) = intersect.box_surface(org, dir, c, h)
         m = (pid_c >= s_end) & (pid_c < b_end)
         point = jnp.where(m[:, None], p, point)
@@ -198,9 +197,8 @@ def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
         tt = jnp.where(m, t, tt)
     if scene.n_tris:
         idx = jnp.clip(pid_c - b_end, 0, scene.n_tris - 1)
-        v0 = scene.tri_v0[idx]
-        v1 = scene.tri_v1[idx]
-        v2 = scene.tri_v2[idx]
+        v0, v1, v2 = gather_cols(idx, scene.tri_v0, scene.tri_v1,
+                                 scene.tri_v2)
         t, p, nrm, (u, v) = intersect.tri_surface(org, dir, v0, v1, v2)
         m = pid_c >= b_end
         point = jnp.where(m[:, None], p, point)
@@ -291,20 +289,20 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
     point, normal, u, v, t_surf = surface_at(scene, state.org, state.dir, pid)
 
     # alter_ray: color *= texture(uv) (material_solid.ts:30-36)
-    tex_id = scene.prim_texture[jnp.clip(pid, 0, scene.n_prims - 1)]
+    pid_cc = jnp.clip(pid, 0, scene.n_prims - 1)
+    tex_id, mat_id = gather_cols(pid_cc, scene.prim_texture,
+                                 scene.prim_material)
     tex_rgb = tex_mod.sample(scene.textures, tex_id, u, v)
     color = jnp.where(hit[:, None], state.color * tex_rgb, state.color)
 
     # path distance (raytracer.ts:210); dir is unit so |point - org| = t
     path = jnp.where(hit, state.path + t_surf, state.path)
 
-    # material columns
-    mat_id = scene.prim_material[jnp.clip(pid, 0, scene.n_prims - 1)]
+    # material columns (one shared one-hot matmul)
     mat = scene.materials
-    is_light = mat.light[mat_id] & hit
-    is_mirror = mat.mirror[mat_id]
-    response = mat.response[mat_id]
-    roughness = mat.roughness[mat_id]
+    m_light, is_mirror, response, roughness = gather_cols(
+        mat_id, mat.light, mat.mirror, mat.response, mat.roughness)
+    is_light = m_light & hit
 
     is_refl = response == int(ResponseType.REFLECTION)
     is_trans = response == int(ResponseType.TRANSMISSION)
