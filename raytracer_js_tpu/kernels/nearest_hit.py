@@ -89,19 +89,24 @@ def _nearest_hit_kernel(org_ref, dir_ref, sph_ref, box_ref, tri_ref,
     pid_best = jnp.full((r_blk, 1), -1, jnp.int32)
     best = (t_best, pid_best)
 
-    # ---- spheres: rows cx, cy, cz, r ------------------------------------
+    # ---- spheres: rows cx, cy, cz, (c.c - r^2) --------------------------
+    # The o.c / d.c cross terms ride the MXU as [R,3]x[3,K] contractions
+    # (the same factoring ops/intersect.sphere_hit_t uses in XLA); only
+    # ~10 elementwise ops remain on the VPU per tile.
+    o3 = org_ref[:, 0:3]
+    d3 = dir_ref[:, 0:3]
+    o_dot_o = ox * ox + oy * oy + oz * oz                    # [R, 1]
+    o_dot_d = ox * dx + oy * dy + oz * dz
+
     def sphere_tile(k, best):
         k0 = k * BLOCK_K
         sl = pl.ds(k0, BLOCK_K)
-        cx = sph_ref[0:1, sl]
-        cy = sph_ref[1:2, sl]
-        cz = sph_ref[2:3, sl]
-        rr = sph_ref[3:4, sl]
-        ocx = ox - cx                                        # [R, K]
-        ocy = oy - cy
-        ocz = oz - cz
-        b_half = ocx * dx + ocy * dy + ocz * dz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+        cT = sph_ref[0:3, sl]                                # [3, K]
+        ccmr = sph_ref[3:4, sl]                              # c.c - r^2
+        d_dot_c = jnp.dot(d3, cT, preferred_element_type=jnp.float32)
+        o_dot_c = jnp.dot(o3, cT, preferred_element_type=jnp.float32)
+        b_half = o_dot_d - d_dot_c                           # [R, K]
+        c = o_dot_o - 2.0 * o_dot_c + ccmr
         disc = b_half * b_half - a * c
         valid = (disc >= 0.0) & (lane + k0 < n_sph)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -242,8 +247,10 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     def pad_k(x):
         return -(-max(x, 1) // k_pad) * k_pad
 
+    c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
     sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
-                     scene.sphere_center[:, 2], scene.sphere_radius,
+                     scene.sphere_center[:, 2],
+                     c_dot_c - scene.sphere_radius ** 2,
                      rows=4, pad_to=pad_k(scene.n_spheres))
     box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
                      scene.box_center[:, 2], scene.box_half[:, 0],

@@ -30,9 +30,11 @@ Array = jnp.ndarray
 class FitConfig:
     steps: int = 100
     lr: float = 1e-2
-    #: optional predicate (leaf_index, leaf) -> bool selecting which float
-    #: leaves train; default trains everything continuous.
     optimizer: str = "adam"   # "adam" | "sgd"
+    #: checkpoint every N steps into ``ckpt_dir`` (0 = off); a fit restarted
+    #: with the same ckpt_dir resumes from the newest snapshot.
+    save_every: int = 0
+    ckpt_dir: str | None = None
 
 
 @dataclasses.dataclass
@@ -122,8 +124,17 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
                        out_specs=(P(), P()))
         grad_fn = jax.jit(lambda p, k: fn(p, targets, k))
 
+    start_step = 0
+    if fit_cfg.ckpt_dir:
+        from ..utils import checkpoint as ckpt
+
+        newest = ckpt.latest(fit_cfg.ckpt_dir)
+        if newest is not None:
+            (params, opt_state), start_step, _ = ckpt.restore(
+                newest, (params, opt_state))
+
     losses = []
-    for step in range(fit_cfg.steps):
+    for step in range(start_step, fit_cfg.steps):
         k = jax.random.fold_in(key, step)
         loss, grads = grad_fn(params, k)
         if trainable is not None:
@@ -132,4 +143,13 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         losses.append(float(loss))
+        if (fit_cfg.ckpt_dir and fit_cfg.save_every
+                and (step + 1) % fit_cfg.save_every == 0):
+            from ..utils import checkpoint as ckpt
+
+            import pathlib
+
+            pathlib.Path(fit_cfg.ckpt_dir).mkdir(parents=True, exist_ok=True)
+            ckpt.save(pathlib.Path(fit_cfg.ckpt_dir) / f"ckpt_{step + 1}",
+                      (params, opt_state), step=step + 1)
     return FitResult(scene=rebuild(params), losses=losses)
