@@ -365,6 +365,41 @@ def nearest_hit_octree(scene: Scene, accel: OctreeAccel, org: Array,
     return t_best, pid_best
 
 
+def walk_nodes(accel: OctreeAccel, org, dir, max_steps: int | None = None):
+    """Occupied-node itinerary of one ray, near -> far (host-side, tests).
+
+    Emits ``(level, (cx, cy, cz))`` stops in the order the reference walker
+    yields them (test/octree-space-walker.test.ts:38-71): when the ray first
+    enters any descendant of an occupied node, the node is emitted —
+    ancestors before descendants, near before far, each node once.
+    """
+    import numpy as np
+
+    L = accel.max_depth
+    keys = {(int(l), int(m)) for l, m in
+            zip(np.asarray(accel.node_level), np.asarray(accel.node_morton))}
+    seen = set()
+    out = []
+    for cell in walk_cells(accel, org, dir, max_steps):
+        for lvl in range(0, L + 1):
+            shift = L - lvl
+            c = tuple(int(x) >> shift for x in cell)
+            m = int(_morton3(np.array([c[0]]), np.array([c[1]]),
+                             np.array([c[2]]), L)[0])
+            k = (lvl, m)
+            if k in keys and k not in seen:
+                seen.add(k)
+                out.append((lvl, c))
+    return out
+
+
+def octant_code(cell) -> int:
+    """Reference octant bit code ``(z << 2) | (y << 1) | x``
+    (octree_space.ts:45-49) of a depth-1 cell."""
+    x, y, z = cell
+    return (int(z) << 2) | (int(y) << 1) | int(x)
+
+
 def walk_cells(accel: OctreeAccel, org, dir, max_steps: int | None = None):
     """Finest-cell itinerary of one ray, near -> far (host-side, for tests).
 

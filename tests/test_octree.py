@@ -164,3 +164,64 @@ def test_octree_empty_scene():
     d = jnp.tile(jnp.asarray([[1.0, 0, 0]], jnp.float32), (4, 1))
     t, pid = nearest_hit_octree(scene, accel, org, d)
     assert np.all(np.asarray(pid) == -1)
+
+
+def test_walker_reference_octant_itinerary():
+    """The reference's canonical one-level itineraries
+    (test/octree-space-walker.test.ts:22-36): diagonal ray (0,0,0)+(1,1,1)
+    visits octants [0,1,3,7] (x-step first on boundary ties), and the
+    reverse ray from the far corner visits [7,6,4,0]."""
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+    from raytracer_js_tpu.accel.octree import build_octree, octant_code, walk_cells
+
+    # 8 half-size spheres, one per octant of the unit cube, so the root
+    # cube is [0,1]^3 and every depth-1 cell is occupied.
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0, 0, 0)))
+    m = b.add_material(ResponseType.REFLECTION)
+    t = b.add_solid_texture((1, 1, 1))
+    for code in range(8):
+        c = np.array([(code >> 0) & 1, (code >> 1) & 1, (code >> 2) & 1])
+        b.add_sphere(c * 0.5 + 0.25, 0.25, m, t)
+    scene = b.build()
+    accel = build_octree(scene, OctreeConfig(max_depth=1))
+
+    eps = 1e-5
+    d = np.ones(3) / np.sqrt(3)
+    start = np.asarray(accel.root_lo) + eps
+    path = [octant_code(c) for c in walk_cells(accel, start, d)]
+    assert path == [0, 1, 3, 7], path
+
+    far = np.asarray(accel.root_lo) + float(accel.root_size) - eps
+    path_rev = [octant_code(c) for c in walk_cells(accel, far, -d)]
+    assert path_rev == [7, 6, 4, 0], path_rev
+
+
+def test_walk_nodes_ancestors_before_children():
+    """Interior nodes are emitted before their pierced children, near->far
+    (the two-level itinerary property, test/octree-space-walker.test.ts:38-71)."""
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+    from raytracer_js_tpu.accel.octree import build_octree, walk_nodes
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0, 0, 0)))
+    m = b.add_material(ResponseType.REFLECTION)
+    t = b.add_solid_texture((1, 1, 1))
+    # a big straddling sphere (level 0) + small deep spheres near two corners
+    b.add_sphere((0.5, 0.5, 0.5), 0.3, m, t)          # straddles -> level 0
+    b.add_sphere((0.125, 0.125, 0.125), 0.12, m, t)   # level 2 cell (0,0,0)
+    b.add_sphere((0.875, 0.875, 0.875), 0.12, m, t)   # level 2 far corner
+    scene = b.build()
+    accel = build_octree(scene, OctreeConfig(max_depth=2), l_cut=0)
+
+    d = np.ones(3) / np.sqrt(3)
+    start = np.asarray(accel.root_lo) + 1e-5
+    stops = walk_nodes(accel, start, d)
+    assert stops, "no stops emitted"
+    levels = {s[0] for s in stops}
+    assert 0 in levels and 2 in levels
+    # level-0 root node first (ancestor before children)
+    assert stops[0][0] == 0
+    # near corner's level-2 node precedes the far corner's
+    l2 = [s for s in stops if s[0] == 2]
+    assert l2[0][1] == (0, 0, 0) and l2[-1][1] == (3, 3, 3), l2
