@@ -226,6 +226,185 @@ def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
     return t[:, 0], pid[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# Scalar-prim broadcast variant
+# ---------------------------------------------------------------------------
+#
+# The tile kernel above pays the 128-lane floor per primitive tile — a
+# 50-prim scene wastes ~60% of VPU lanes and a 2-box scene wastes ~98% of a
+# tile. This variant fills BOTH sublanes and lanes with rays ([RS, RL] ray
+# tiles) and loops primitives sequentially as *scalar* broadcasts read from
+# the VMEM prim table, so per-ray work is proportional to the true
+# primitive count. Right regime: P up to a few hundred (beyond that the
+# sequential prim loop loses to tiling/culling).
+
+#: ray tile: sublanes x lanes; 64x512 = 32k rays per program
+SP_SUB = 64
+SP_LANE = 512
+
+
+def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                      sph_ref, box_ref, tri_ref, t_ref, pid_ref,
+                      *, n_sph, n_box, n_tri):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    o_dot_d = ox * dx + oy * dy + oz * dz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+
+    def safe_inv(d):
+        tiny = jnp.abs(d) < _SLAB_EPS
+        d_safe = jnp.where(tiny, jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS), d)
+        return 1.0 / d_safe
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+    t_best = jnp.full(ox.shape, _INF, jnp.float32)
+    pid_best = jnp.full(ox.shape, -1, jnp.int32)
+
+    def sph_body(p, carry):
+        t_best, pid = carry
+        cx, cy, cz = sph_ref[0, p], sph_ref[1, p], sph_ref[2, p]
+        ccmr = sph_ref[3, p]
+        b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
+        disc = b_half * b_half - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t_near = (-b_half - sq) * inv_a
+        t_far = (-b_half + sq) * inv_a
+        t = jnp.where(t_near >= 0.0, t_near,
+                      jnp.where(t_far >= 0.0, t_far, _INF))
+        t = jnp.where(disc >= 0.0, t, _INF)
+        upd = t < t_best
+        return (jnp.where(upd, t, t_best),
+                jnp.where(upd, p, pid))
+
+    t_best, pid_best = jax.lax.fori_loop(0, n_sph, sph_body,
+                                         (t_best, pid_best))
+
+    def box_body(p, carry):
+        t_best, pid = carry
+        cx, cy, cz = box_ref[0, p], box_ref[1, p], box_ref[2, p]
+        hx, hy, hz = box_ref[3, p], box_ref[4, p], box_ref[5, p]
+        tax = (cx - hx - ox) * ix
+        tbx = (cx + hx - ox) * ix
+        tay = (cy - hy - oy) * iy
+        tby = (cy + hy - oy) * iy
+        taz = (cz - hz - oz) * iz
+        tbz = (cz + hz - oz) * iz
+        t_enter = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                          jnp.minimum(tay, tby)),
+                              jnp.minimum(taz, tbz))
+        t_exit = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                         jnp.maximum(tay, tby)),
+                             jnp.maximum(taz, tbz))
+        t = jnp.where(t_enter >= 0.0, t_enter,
+                      jnp.where(t_exit >= 0.0, t_exit, _INF))
+        t = jnp.where(t_enter <= t_exit, t, _INF)
+        upd = t < t_best
+        return (jnp.where(upd, t, t_best),
+                jnp.where(upd, p + n_sph, pid))
+
+    t_best, pid_best = jax.lax.fori_loop(0, n_box, box_body,
+                                         (t_best, pid_best))
+
+    def tri_body(p, carry):
+        t_best, pid = carry
+        v0x, v0y, v0z = tri_ref[0, p], tri_ref[1, p], tri_ref[2, p]
+        e1x, e1y, e1z = (tri_ref[3, p] - v0x, tri_ref[4, p] - v0y,
+                         tri_ref[5, p] - v0z)
+        e2x, e2y, e2z = (tri_ref[6, p] - v0x, tri_ref[7, p] - v0y,
+                         tri_ref[8, p] - v0z)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, _MT_EPS, det)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = (sx * px + sy * py + sz * pz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t >= 0.0))
+        t = jnp.where(ok, t, _INF)
+        upd = t < t_best
+        return (jnp.where(upd, t, t_best),
+                jnp.where(upd, p + n_sph + n_box, pid))
+
+    t_best, pid_best = jax.lax.fori_loop(0, n_tri, tri_body,
+                                         (t_best, pid_best))
+
+    t_ref[:, :] = t_best
+    pid_ref[:, :] = jnp.where(t_best < _INF, pid_best, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _nh_scalar_call(cols, sph, box, tri, meta, interpret=False):
+    n_sph, n_box, n_tri = meta
+    rows = cols[0].shape[0]
+    grid = (rows // SP_SUB,)
+    kern = functools.partial(_nh_scalar_kernel, n_sph=n_sph, n_box=n_box,
+                             n_tri=n_tri)
+    ray_spec = pl.BlockSpec((SP_SUB, SP_LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    t, pid = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [
+            pl.BlockSpec(sph.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(box.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*cols, sph, box, tri)
+    return t, pid
+
+
+def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
+                              interpret: bool | None = None
+                              ) -> Tuple[Array, Array]:
+    """Scalar-prim-broadcast nearest hit; same contract as the tile kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.shape[0]
+    quant = SP_SUB * SP_LANE
+    n_pad = -(-n // quant) * quant
+    def col(x, fill):
+        c = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return c.reshape(n_pad // SP_LANE, SP_LANE)
+    cols = (col(org[:, 0], 0.0), col(org[:, 1], 0.0), col(org[:, 2], 0.0),
+            col(dir[:, 0], 1.0), col(dir[:, 1], 1.0), col(dir[:, 2], 1.0))
+
+    c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
+    k_pad = 128
+    def pad_k(x):
+        return -(-max(x, 1) // k_pad) * k_pad
+    sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
+                     scene.sphere_center[:, 2],
+                     c_dot_c - scene.sphere_radius ** 2,
+                     rows=4, pad_to=pad_k(scene.n_spheres))
+    box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
+                     scene.box_center[:, 2], scene.box_half[:, 0],
+                     scene.box_half[:, 1], scene.box_half[:, 2],
+                     rows=6, pad_to=pad_k(scene.n_boxes))
+    tri = _pack_rows(scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+                     scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
+                     scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
+                     rows=9, pad_to=pad_k(scene.n_tris))
+    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris)
+    t, pid = _nh_scalar_call(cols, sph, box, tri, meta, interpret=interpret)
+    return t.reshape(-1)[:n], pid.reshape(-1)[:n]
+
+
 def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                        interpret: bool | None = None) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).

@@ -71,3 +71,16 @@ def test_kernel_spheres_only_scene():
     assert np.array_equal(p_p, p_b)
     hit = p_b >= 0
     np.testing.assert_allclose(t_p[hit], t_b[hit], rtol=1e-4)
+
+
+def test_scalar_kernel_matches_brute():
+    from raytracer_js_tpu.kernels.nearest_hit import nearest_hit_pallas_scalar
+
+    scene = config1_scene(with_glass=True, with_tri=True)
+    org, d = _rand_rays(300, seed=5)
+    t_b, p_b = map(np.asarray, nearest_hit_brute(scene, org, d))
+    t_p, p_p = map(np.asarray, nearest_hit_pallas_scalar(scene, org, d))
+    hit = p_b >= 0
+    np.testing.assert_allclose(t_p[hit], t_b[hit], rtol=1e-4, atol=1e-6)
+    assert np.array_equal(p_p[~hit], p_b[~hit])
+    assert (p_p[hit] != p_b[hit]).mean() < 0.02
