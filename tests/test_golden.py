@@ -45,3 +45,48 @@ def test_render_refmax_exhaust_and_light():
     np.testing.assert_allclose(img, ref, rtol=0, atol=1e-4)
     assert (img == 0).all(axis=-1).any(), "expected exhausted (black) pixels"
     assert img.max() > 0, "expected attenuated light pixels"
+
+
+def test_box_uv_image_texture_matches_oracle():
+    """Box 6-face UV layout drives an image-texture lookup identically in
+    the wavefront path and the oracle (the reference declares but stubs box
+    UV, entity_box.ts:104-107 — ours implements the declared layout)."""
+    import numpy as np
+
+    from raytracer_js_tpu import ResponseType, SceneBuilder, make_camera
+
+    b = SceneBuilder(atlas_hw=(16, 16))
+    b.set_sky(b.add_solid_texture((0.1, 0.1, 0.1)))
+    m = b.add_material(ResponseType.REFLECTION)
+    rng = np.random.default_rng(4)
+    tex = b.add_image_texture(rng.uniform(0.0, 1.0, (16, 16, 3)).astype(np.float32))
+    b.add_box((4.0, 0.0, 0.0), 2.0, m, tex)
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.0), 16, 16, np.pi / 2, np.pi / 2)
+    cfg = config1_cfg(refmax=1)
+    img = np.asarray(render_hdr(scene, cam, cfg))
+    ref = oracle.render(scene, cam, cfg)
+    err = np.abs(img - ref).max(axis=-1)
+    # random-texel image: allow f32/f64 texel-boundary flips on a few pixels
+    assert (err <= 1e-4).mean() >= 0.95, (err <= 1e-4).mean()
+
+
+def test_image_file_texture_roundtrip(tmp_path):
+    """PNG -> loader -> texture atlas -> render picks up the file's colors
+    (the ImageTexture DOM-decode path, texture_image.ts:76-136)."""
+    import numpy as np
+
+    from raytracer_js_tpu import ResponseType, SceneBuilder, make_camera
+    from raytracer_js_tpu.utils.image import load_texture_image
+    from raytracer_js_tpu.view.screen import write_png
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = (1.0, 0.0, 0.0)
+    img[:, 4:] = (0.0, 0.0, 1.0)
+    p = write_png(tmp_path / "t.png", img)
+    loaded = load_texture_image(p)
+    np.testing.assert_allclose(loaded, img, atol=1 / 255)
+
+    bad = load_texture_image(tmp_path / "missing.png", fallback=(0.3, 0.2, 0.1))
+    np.testing.assert_allclose(bad, np.full((1, 1, 3), [[0.3, 0.2, 0.1]],
+                                            np.float32).reshape(1, 1, 3))
