@@ -76,11 +76,16 @@ class HitBackend(enum.Enum):
       TPU-native re-expression of the reference's pointer walker,
       octree_space.ts:159-408).
     * ``PALLAS`` — blocked Pallas kernel (running-min over primitive tiles).
+    * ``FUSED`` — whole-trace Pallas kernel (state resident in VMEM across
+      bounces); restricted scene class (solid textures/sky, no
+      transmission/roughness — kernels/trace_fused.supports), forward-only
+      (no VJP); falls back to BRUTE when unsupported.
     """
 
     BRUTE = "brute"
     OCTREE = "octree"
     PALLAS = "pallas"
+    FUSED = "fused"
 
 
 # Epsilon the reference advances a respawned ray by to escape the previous

@@ -232,20 +232,27 @@ def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
 #
 # The tile kernel above pays the 128-lane floor per primitive tile — a
 # 50-prim scene wastes ~60% of VPU lanes and a 2-box scene wastes ~98% of a
-# tile. This variant fills BOTH sublanes and lanes with rays ([RS, RL] ray
-# tiles) and loops primitives sequentially as *scalar* broadcasts read from
-# the VMEM prim table, so per-ray work is proportional to the true
-# primitive count. Right regime: P up to a few hundred (beyond that the
-# sequential prim loop loses to tiling/culling).
+# tile. This variant fills BOTH sublanes and lanes with rays ([256, 128] ray
+# tiles) and streams primitives one at a time as lane-replicated [1, 128]
+# row broadcasts (dynamic *sublane* indexing — Mosaic cannot index lanes
+# dynamically), so per-ray work is proportional to the true primitive
+# count. Right regime: P up to a few hundred; beyond that tiling/culling
+# wins and the table replication (P x 128 per attribute) stops being free.
 
-#: ray tile: sublanes x lanes; 64x512 = 32k rays per program
-SP_SUB = 64
-SP_LANE = 512
+#: ray tile: sublanes x lanes; 256x128 = 32k rays per program
+SP_SUB = 256
+SP_LANE = 128
+
+
+def _row(ref, base, p):
+    """Lane-replicated [1, 128] attribute row of prim ``p`` (attr block
+    ``base`` rows into the packed table)."""
+    return ref[pl.ds(base + p, 1), :]
 
 
 def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                       sph_ref, box_ref, tri_ref, t_ref, pid_ref,
-                      *, n_sph, n_box, n_tri):
+                      *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     a = dx * dx + dy * dy + dz * dz
@@ -265,8 +272,10 @@ def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     def sph_body(p, carry):
         t_best, pid = carry
-        cx, cy, cz = sph_ref[0, p], sph_ref[1, p], sph_ref[2, p]
-        ccmr = sph_ref[3, p]
+        cx = _row(sph_ref, 0, p)
+        cy = _row(sph_ref, s_pad, p)
+        cz = _row(sph_ref, 2 * s_pad, p)
+        ccmr = _row(sph_ref, 3 * s_pad, p)
         b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
         c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
         disc = b_half * b_half - a * c
@@ -285,8 +294,12 @@ def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     def box_body(p, carry):
         t_best, pid = carry
-        cx, cy, cz = box_ref[0, p], box_ref[1, p], box_ref[2, p]
-        hx, hy, hz = box_ref[3, p], box_ref[4, p], box_ref[5, p]
+        cx = _row(box_ref, 0, p)
+        cy = _row(box_ref, b_pad, p)
+        cz = _row(box_ref, 2 * b_pad, p)
+        hx = _row(box_ref, 3 * b_pad, p)
+        hy = _row(box_ref, 4 * b_pad, p)
+        hz = _row(box_ref, 5 * b_pad, p)
         tax = (cx - hx - ox) * ix
         tbx = (cx + hx - ox) * ix
         tay = (cy - hy - oy) * iy
@@ -311,11 +324,15 @@ def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     def tri_body(p, carry):
         t_best, pid = carry
-        v0x, v0y, v0z = tri_ref[0, p], tri_ref[1, p], tri_ref[2, p]
-        e1x, e1y, e1z = (tri_ref[3, p] - v0x, tri_ref[4, p] - v0y,
-                         tri_ref[5, p] - v0z)
-        e2x, e2y, e2z = (tri_ref[6, p] - v0x, tri_ref[7, p] - v0y,
-                         tri_ref[8, p] - v0z)
+        v0x = _row(tri_ref, 0, p)
+        v0y = _row(tri_ref, r_pad, p)
+        v0z = _row(tri_ref, 2 * r_pad, p)
+        e1x = _row(tri_ref, 3 * r_pad, p) - v0x
+        e1y = _row(tri_ref, 4 * r_pad, p) - v0y
+        e1z = _row(tri_ref, 5 * r_pad, p) - v0z
+        e2x = _row(tri_ref, 6 * r_pad, p) - v0x
+        e2y = _row(tri_ref, 7 * r_pad, p) - v0y
+        e2z = _row(tri_ref, 8 * r_pad, p) - v0z
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
         pz = dx * e2y - dy * e2x
@@ -342,13 +359,27 @@ def _nh_scalar_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pid_ref[:, :] = jnp.where(t_best < _INF, pid_best, -1)
 
 
+def pack_replicated(cols, pad_to: int) -> Array:
+    """Stack 1-D prim columns into [n_cols * pad_to, 128], each value
+    replicated across lanes (the broadcastable row layout)."""
+    n_cols = len(cols)
+    out = jnp.zeros((n_cols * pad_to, SP_LANE), jnp.float32)
+    for i, c in enumerate(cols):
+        if c.shape[0]:
+            rep = jnp.broadcast_to(c.astype(jnp.float32)[:, None],
+                                   (c.shape[0], SP_LANE))
+            out = jax.lax.dynamic_update_slice(out, rep, (i * pad_to, 0))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _nh_scalar_call(cols, sph, box, tri, meta, interpret=False):
-    n_sph, n_box, n_tri = meta
+    n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     rows = cols[0].shape[0]
     grid = (rows // SP_SUB,)
     kern = functools.partial(_nh_scalar_kernel, n_sph=n_sph, n_box=n_box,
-                             n_tri=n_tri)
+                             n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
+                             r_pad=r_pad)
     ray_spec = pl.BlockSpec((SP_SUB, SP_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     t, pid = pl.pallas_call(
@@ -369,6 +400,17 @@ def _nh_scalar_call(cols, sph, box, tri, meta, interpret=False):
     return t, pid
 
 
+def _ray_cols(org: Array, dir: Array, n_pad: int):
+    n = org.shape[0]
+
+    def col(x, fill):
+        c = jnp.pad(x, (0, n_pad - n), constant_values=fill)
+        return c.reshape(n_pad // SP_LANE, SP_LANE)
+
+    return (col(org[:, 0], 0.0), col(org[:, 1], 0.0), col(org[:, 2], 0.0),
+            col(dir[:, 0], 1.0), col(dir[:, 1], 1.0), col(dir[:, 2], 1.0))
+
+
 def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
                               interpret: bool | None = None
                               ) -> Tuple[Array, Array]:
@@ -378,29 +420,28 @@ def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
     n = org.shape[0]
     quant = SP_SUB * SP_LANE
     n_pad = -(-n // quant) * quant
-    def col(x, fill):
-        c = jnp.pad(x, (0, n_pad - n), constant_values=fill)
-        return c.reshape(n_pad // SP_LANE, SP_LANE)
-    cols = (col(org[:, 0], 0.0), col(org[:, 1], 0.0), col(org[:, 2], 0.0),
-            col(dir[:, 0], 1.0), col(dir[:, 1], 1.0), col(dir[:, 2], 1.0))
+    cols = _ray_cols(org, dir, n_pad)
 
+    def pad8(x):
+        return -(-max(x, 1) // 8) * 8
+
+    s_pad, b_pad, r_pad = (pad8(scene.n_spheres), pad8(scene.n_boxes),
+                           pad8(scene.n_tris))
     c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
-    k_pad = 128
-    def pad_k(x):
-        return -(-max(x, 1) // k_pad) * k_pad
-    sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
-                     scene.sphere_center[:, 2],
-                     c_dot_c - scene.sphere_radius ** 2,
-                     rows=4, pad_to=pad_k(scene.n_spheres))
-    box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
-                     scene.box_center[:, 2], scene.box_half[:, 0],
-                     scene.box_half[:, 1], scene.box_half[:, 2],
-                     rows=6, pad_to=pad_k(scene.n_boxes))
-    tri = _pack_rows(scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
-                     scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
-                     scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
-                     rows=9, pad_to=pad_k(scene.n_tris))
-    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris)
+    sph = pack_replicated([scene.sphere_center[:, 0], scene.sphere_center[:, 1],
+                           scene.sphere_center[:, 2],
+                           c_dot_c - scene.sphere_radius ** 2], s_pad)
+    box = pack_replicated([scene.box_center[:, 0], scene.box_center[:, 1],
+                           scene.box_center[:, 2], scene.box_half[:, 0],
+                           scene.box_half[:, 1], scene.box_half[:, 2]], b_pad)
+    tri = pack_replicated([scene.tri_v0[:, 0], scene.tri_v0[:, 1],
+                           scene.tri_v0[:, 2],
+                           scene.tri_v1[:, 0], scene.tri_v1[:, 1],
+                           scene.tri_v1[:, 2],
+                           scene.tri_v2[:, 0], scene.tri_v2[:, 1],
+                           scene.tri_v2[:, 2]], r_pad)
+    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
+            s_pad, b_pad, r_pad)
     t, pid = _nh_scalar_call(cols, sph, box, tri, meta, interpret=interpret)
     return t.reshape(-1)[:n], pid.reshape(-1)[:n]
 

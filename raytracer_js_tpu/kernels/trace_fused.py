@@ -1,0 +1,366 @@
+"""Fused full-trace Pallas kernel.
+
+The whole wavefront bounce loop (ops/trace.trace_rays) for the *restricted
+scene class* — solid textures, solid sky, no transmission, zero roughness —
+executed inside one kernel launch: ray state (origin, direction, color,
+path, status) never leaves VMEM between bounces, primitives stream as
+lane-replicated row broadcasts (see kernels/nearest_hit scalar variant),
+and the winning primitive's normal and shading attributes ride the
+running-min carry, so there is no per-ray gather anywhere.
+
+This is the headline-benchmark path (BASELINE configs 1-2 class scenes are
+exactly this restricted class). Unrestricted scenes fall back to the XLA
+wavefront loop (ops/trace), which remains the semantic reference; parity
+tests assert this kernel matches it lane-for-lane.
+
+Semantics (all mirrored from ops/trace._bounce, raytracer.ts:166-277):
+hit -> color *= prim rgb, path += t; emissive -> LIGHT + ISL at the end;
+mirror REFLECTION -> reflect + eps-advance; non-mirror/BOTH -> KEEP;
+miss -> color *= sky, MISS; refmax exhaustion -> black EXHAUST.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPS_ADVANCE, JS_EPSILON, RayStatus, RenderConfig, ResponseType
+from ..models.scene import Scene
+from .nearest_hit import SP_LANE, SP_SUB, _ray_cols, _row, pack_replicated
+
+Array = jnp.ndarray
+
+_INF = float(np.inf)
+_SLAB_EPS = 1e-12
+_MT_EPS = 1e-9
+
+_ALIVE = int(RayStatus.ALIVE)
+_LIGHT = int(RayStatus.LIGHT)
+_KEEP = int(RayStatus.KEEP)
+_MISS = int(RayStatus.MISS)
+_EXHAUST = int(RayStatus.EXHAUST)
+
+
+def supports(scene: Scene) -> bool:
+    """Static eligibility for the fused kernel."""
+    return (not scene.has_transmission and not scene.has_rough
+            and not scene.textures.has_images)
+
+
+def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  sph_ref, box_ref, tri_ref, sky_ref,
+                  cr_ref, cg_ref, cb_ref, st_ref,
+                  *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
+                  refmax, atten):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    shape = ox.shape
+    col_r = jnp.ones(shape, jnp.float32)
+    col_g = jnp.ones(shape, jnp.float32)
+    col_b = jnp.ones(shape, jnp.float32)
+    path = jnp.zeros(shape, jnp.float32)
+    status = jnp.full(shape, _ALIVE, jnp.int32)
+    sky_r = sky_ref[0:1, :]
+    sky_g = sky_ref[1:2, :]
+    sky_b = sky_ref[2:3, :]
+
+    def safe_inv(d):
+        tiny = jnp.abs(d) < _SLAB_EPS
+        d_safe = jnp.where(tiny, jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS), d)
+        return 1.0 / d_safe
+
+    for _bounce in range(refmax):
+        alive = status == _ALIVE
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        o_dot_d = ox * dx + oy * dy + oz * dz
+        o_dot_o = ox * ox + oy * oy + oz * oz
+        ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
+
+        zero = jnp.zeros(shape, jnp.float32)
+        one = jnp.ones(shape, jnp.float32)
+        # carry: t, pid, winning normal, winning rgb, light flag, cont flag.
+        # Candidate attributes update the carry at each improving prim, so
+        # the winner needs no post-loop gather.
+        carry = (jnp.full(shape, _INF, jnp.float32),
+                 jnp.full(shape, -1, jnp.int32),
+                 zero, zero, zero,      # normal
+                 one, one, one,         # rgb
+                 zero, zero)            # is_light, cont
+
+        def upd(carry, t, p_glob, nx, ny, nz, rr, gg, bb, li, co):
+            t_best, pid, wnx, wny, wnz, wr, wg, wb, wl, wc = carry
+            u = t < t_best
+            return (jnp.where(u, t, t_best),
+                    jnp.where(u, p_glob, pid),
+                    jnp.where(u, nx, wnx), jnp.where(u, ny, wny),
+                    jnp.where(u, nz, wnz),
+                    jnp.where(u, rr, wr), jnp.where(u, gg, wg),
+                    jnp.where(u, bb, wb),
+                    jnp.where(u, li, wl), jnp.where(u, co, wc))
+
+        # sphere rows: cx cy cz ccmr inv_r | r g b light cont  (10 blocks)
+        def sph_body(p, carry):
+            cx = _row(sph_ref, 0, p)
+            cy = _row(sph_ref, s_pad, p)
+            cz = _row(sph_ref, 2 * s_pad, p)
+            ccmr = _row(sph_ref, 3 * s_pad, p)
+            inv_r = _row(sph_ref, 4 * s_pad, p)
+            b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
+            c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
+            disc = b_half * b_half - a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = (-b_half - sq) * inv_a
+            t_far = (-b_half + sq) * inv_a
+            t = jnp.where(t_near >= 0.0, t_near,
+                          jnp.where(t_far >= 0.0, t_far, _INF))
+            t = jnp.where(disc >= 0.0, t, _INF)
+            nx = (ox + t * dx - cx) * inv_r
+            ny = (oy + t * dy - cy) * inv_r
+            nz = (oz + t * dz - cz) * inv_r
+            flip = jnp.where(dx * nx + dy * ny + dz * nz > 0.0, -1.0, 1.0)
+            return upd(carry, t, p, nx * flip, ny * flip, nz * flip,
+                       _row(sph_ref, 5 * s_pad, p),
+                       _row(sph_ref, 6 * s_pad, p),
+                       _row(sph_ref, 7 * s_pad, p),
+                       _row(sph_ref, 8 * s_pad, p),
+                       _row(sph_ref, 9 * s_pad, p))
+
+        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+
+        # box rows: cx cy cz hx hy hz | r g b light cont  (11 blocks)
+        def box_body(p, carry):
+            cx = _row(box_ref, 0, p)
+            cy = _row(box_ref, b_pad, p)
+            cz = _row(box_ref, 2 * b_pad, p)
+            hx = _row(box_ref, 3 * b_pad, p)
+            hy = _row(box_ref, 4 * b_pad, p)
+            hz = _row(box_ref, 5 * b_pad, p)
+            tax = (cx - hx - ox) * ix
+            tbx = (cx + hx - ox) * ix
+            tay = (cy - hy - oy) * iy
+            tby = (cy + hy - oy) * iy
+            taz = (cz - hz - oz) * iz
+            tbz = (cz + hz - oz) * iz
+            t0x, t1x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
+            t0y, t1y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
+            t0z, t1z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
+            t_enter = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
+            t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+            t = jnp.where(t_enter >= 0.0, t_enter,
+                          jnp.where(t_exit >= 0.0, t_exit, _INF))
+            t = jnp.where(t_enter <= t_exit, t, _INF)
+            # winning slab axis -> face normal -sign(d_axis) e_axis with
+            # x > y > z tie order (ops/intersect.box_surface argmax/argmin)
+            entering = t_enter >= 0.0
+            wx = jnp.where(entering, t0x == t_enter, t1x == t_exit)
+            wy = jnp.where(entering, t0y == t_enter, t1y == t_exit) & ~wx
+            wz = ~wx & ~wy
+            sx = jnp.where(dx < 0.0, 1.0, -1.0)
+            sy = jnp.where(dy < 0.0, 1.0, -1.0)
+            sz = jnp.where(dz < 0.0, 1.0, -1.0)
+            return upd(carry, t, p + n_sph,
+                       jnp.where(wx, sx, 0.0), jnp.where(wy, sy, 0.0),
+                       jnp.where(wz, sz, 0.0),
+                       _row(box_ref, 6 * b_pad, p),
+                       _row(box_ref, 7 * b_pad, p),
+                       _row(box_ref, 8 * b_pad, p),
+                       _row(box_ref, 9 * b_pad, p),
+                       _row(box_ref, 10 * b_pad, p))
+
+        carry = jax.lax.fori_loop(0, n_box, box_body, carry)
+
+        # tri rows: v0(3) v1(3) v2(3) gn(3) | r g b light cont  (17 blocks)
+        def tri_body(p, carry):
+            v0x = _row(tri_ref, 0, p)
+            v0y = _row(tri_ref, r_pad, p)
+            v0z = _row(tri_ref, 2 * r_pad, p)
+            e1x = _row(tri_ref, 3 * r_pad, p) - v0x
+            e1y = _row(tri_ref, 4 * r_pad, p) - v0y
+            e1z = _row(tri_ref, 5 * r_pad, p) - v0z
+            e2x = _row(tri_ref, 6 * r_pad, p) - v0x
+            e2y = _row(tri_ref, 7 * r_pad, p) - v0y
+            e2z = _row(tri_ref, 8 * r_pad, p) - v0z
+            gnx = _row(tri_ref, 9 * r_pad, p)
+            gny = _row(tri_ref, 10 * r_pad, p)
+            gnz = _row(tri_ref, 11 * r_pad, p)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, _MT_EPS, det)
+            sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+            u = (sx * px + sy * py + sz * pz) * inv_det
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t >= 0.0))
+            t = jnp.where(ok, t, _INF)
+            flip = jnp.where(dx * gnx + dy * gny + dz * gnz > 0.0, -1.0, 1.0)
+            return upd(carry, t, p + n_sph + n_box,
+                       gnx * flip, gny * flip, gnz * flip,
+                       _row(tri_ref, 12 * r_pad, p),
+                       _row(tri_ref, 13 * r_pad, p),
+                       _row(tri_ref, 14 * r_pad, p),
+                       _row(tri_ref, 15 * r_pad, p),
+                       _row(tri_ref, 16 * r_pad, p))
+
+        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+
+        (t_best, pid, nx, ny, nz, wr, wg, wb, w_light, w_cont) = carry
+        hit = alive & (pid >= 0)
+        lit = hit & (w_light > 0.5)
+        cont = hit & (w_cont > 0.5) & ~lit
+        keep = hit & ~lit & ~cont
+        miss = alive & (pid < 0)
+
+        col_r = jnp.where(hit, col_r * wr,
+                          jnp.where(miss, col_r * sky_r, col_r))
+        col_g = jnp.where(hit, col_g * wg,
+                          jnp.where(miss, col_g * sky_g, col_g))
+        col_b = jnp.where(hit, col_b * wb,
+                          jnp.where(miss, col_b * sky_b, col_b))
+        path = jnp.where(hit, path + t_best, path)
+        status = jnp.where(lit, _LIGHT,
+                           jnp.where(keep, _KEEP,
+                                     jnp.where(miss, _MISS, status)))
+
+        # mirror continuation: reflect + eps-advance (raytracer.ts:231-236)
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        rdx = dx - 2.0 * d_dot_n * nx
+        rdy = dy - 2.0 * d_dot_n * ny
+        rdz = dz - 2.0 * d_dot_n * nz
+        hx_ = ox + t_best * dx
+        hy_ = oy + t_best * dy
+        hz_ = oz + t_best * dz
+        ox = jnp.where(cont, hx_ + EPS_ADVANCE * rdx, ox)
+        oy = jnp.where(cont, hy_ + EPS_ADVANCE * rdy, oy)
+        oz = jnp.where(cont, hz_ + EPS_ADVANCE * rdz, oz)
+        dx = jnp.where(cont, rdx, dx)
+        dy = jnp.where(cont, rdy, dy)
+        dz = jnp.where(cont, rdz, dz)
+
+    # refmax exhaustion -> black (raytracer.ts:256-263)
+    exhausted = status == _ALIVE
+    col_r = jnp.where(exhausted, 0.0, col_r)
+    col_g = jnp.where(exhausted, 0.0, col_g)
+    col_b = jnp.where(exhausted, 0.0, col_b)
+    status = jnp.where(exhausted, _EXHAUST, status)
+
+    # ISL for light hits (raytracer.ts:273-275)
+    isl = 1.0 / (JS_EPSILON + (path * atten) ** 2)
+    lit = status == _LIGHT
+    col_r = jnp.where(lit, col_r * isl, col_r)
+    col_g = jnp.where(lit, col_g * isl, col_g)
+    col_b = jnp.where(lit, col_b * isl, col_b)
+
+    cr_ref[:, :] = col_r
+    cg_ref[:, :] = col_g
+    cb_ref[:, :] = col_b
+    st_ref[:, :] = status
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "refmax", "atten", "interpret"))
+def _trace_call(cols, sph, box, tri, sky, meta, refmax, atten,
+                interpret=False):
+    n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
+    rows = cols[0].shape[0]
+    grid = (rows // SP_SUB,)
+    kern = functools.partial(_trace_kernel, n_sph=n_sph, n_box=n_box,
+                             n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
+                             r_pad=r_pad, refmax=refmax, atten=atten)
+    ray_spec = pl.BlockSpec((SP_SUB, SP_LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[ray_spec] * 6 + [full(sph), full(box), full(tri),
+                                   full(sky)],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
+        interpret=interpret,
+    )(*cols, sph, box, tri, sky)
+
+
+def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+                     interpret: bool | None = None
+                     ) -> Tuple[Array, Array]:
+    """Fused trace -> (color [N, 3], status [N]).
+
+    Caller must check :func:`supports`. Matches ops/trace.trace_rays colors
+    and statuses exactly for the restricted class.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.shape[0]
+    quant = SP_SUB * SP_LANE
+    n_pad = -(-n // quant) * quant
+    cols = _ray_cols(org, dir, n_pad)
+
+    def pad8(x):
+        return -(-max(x, 1) // 8) * 8
+
+    s_pad, b_pad, r_pad = (pad8(scene.n_spheres), pad8(scene.n_boxes),
+                           pad8(scene.n_tris))
+
+    # per-prim shading attributes in global prim order
+    prim_rgb = scene.textures.solid_rgb[scene.prim_texture]      # [P, 3]
+    mat = scene.materials
+    m_light = mat.light[scene.prim_material].astype(jnp.float32)
+    m_cont = (mat.mirror[scene.prim_material]
+              & (mat.response[scene.prim_material]
+                 == int(ResponseType.REFLECTION))
+              & (mat.light[scene.prim_material] == False)  # noqa: E712
+              ).astype(jnp.float32)
+
+    def attr_slice(lo, hi):
+        return (prim_rgb[lo:hi, 0], prim_rgb[lo:hi, 1], prim_rgb[lo:hi, 2],
+                m_light[lo:hi], m_cont[lo:hi])
+
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+
+    c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
+    inv_r = 1.0 / jnp.maximum(scene.sphere_radius, 1e-20)
+    sph = pack_replicated(
+        [scene.sphere_center[:, 0], scene.sphere_center[:, 1],
+         scene.sphere_center[:, 2], c_dot_c - scene.sphere_radius ** 2,
+         inv_r, *attr_slice(0, s_end)], s_pad)
+    box = pack_replicated(
+        [scene.box_center[:, 0], scene.box_center[:, 1],
+         scene.box_center[:, 2], scene.box_half[:, 0],
+         scene.box_half[:, 1], scene.box_half[:, 2],
+         *attr_slice(s_end, b_end)], b_pad)
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    gn = jnp.cross(e1, e2)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    tri = pack_replicated(
+        [scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+         scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
+         scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
+         gn[:, 0], gn[:, 1], gn[:, 2], *attr_slice(b_end, scene.n_prims)],
+        r_pad)
+    sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
+    sky = pack_replicated([sky_rgb[0:1], sky_rgb[1:2], sky_rgb[2:3]], 1)
+
+    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
+            s_pad, b_pad, r_pad)
+    cr, cg, cb, st = _trace_call(
+        cols, sph, box, tri, sky, meta, int(cfg.refmax),
+        float(cfg.distance_attenuation_factor), interpret=interpret)
+    color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
+                       cb.reshape(-1)[:n]], axis=-1)
+    return color, st.reshape(-1)[:n]

@@ -265,7 +265,7 @@ class SceneBuilder:
             default_refr=jnp.asarray(self._default_refr, jnp.float32),
             sky_tex=int(self._sky_tex),
             has_transmission=any(
-                int(m[0]) == int(ResponseType.TRANSMISSION)
-                for m in self._materials),
-            has_rough=any(float(m[3]) > 0.0 for m in self._materials),
+                int(self._materials[i[0]][0]) == int(ResponseType.TRANSMISSION)
+                for i in ids),
+            has_rough=any(float(self._materials[i[0]][3]) > 0.0 for i in ids),
         )

@@ -10,6 +10,7 @@ one launch; the cross-launch accumulator also exists, see view/exposure.py).
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -38,6 +39,18 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     Sample s of ray i uses the RNG stream (key, ray_id[i]*spp + s), so the
     result is bitwise identical under any device sharding of the wavefront.
     """
+    from .config import HitBackend
+
+    if cfg.backend == HitBackend.FUSED:
+        from .kernels import trace_fused
+
+        if trace_fused.supports(scene):
+            # Deterministic restricted class: spp averaging is a no-op and
+            # the whole bounce loop runs inside one Pallas kernel.
+            color, _status = trace_fused.trace_rays_fused(scene, cfg, org, dir)
+            return color
+        cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
+
     refr0 = jnp.broadcast_to(start_substance(scene, org[0]), (org.shape[0],))
 
     def one_sample(s):

@@ -1,0 +1,89 @@
+"""Fused full-trace Pallas kernel vs the XLA wavefront loop (interpret mode)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder, make_camera
+from raytracer_js_tpu.kernels.trace_fused import supports, trace_rays_fused
+from raytracer_js_tpu.models.camera import pixel_rays
+from raytracer_js_tpu.ops.trace import trace_rays
+
+from scenes import config1_cfg, config1_scene
+
+
+def _compare(scene, cam, cfg):
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    key = jax.random.key(0)
+    ref = trace_rays(scene, cfg, org, dirs, key, rid)
+    color, status = trace_rays_fused(scene, cfg, org, dirs)
+    np.testing.assert_allclose(np.asarray(color), np.asarray(ref.color),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(status), np.asarray(ref.status))
+
+
+def test_supports_gate():
+    assert supports(config1_scene())
+    assert not supports(config1_scene(with_glass=True))
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0, 0, 0)))
+    rough = b.add_material(ResponseType.REFLECTION, mirror=True,
+                           roughness=0.5)
+    b.add_sphere((1, 0, 0), 0.5, rough, b.add_solid_texture((1, 1, 1)))
+    assert not supports(b.build())
+
+
+def test_fused_matches_wavefront_config1():
+    scene = config1_scene()
+    assert supports(scene)
+    cam = make_camera((0.0, 0.0, 0.5), 16, 16, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, config1_cfg())
+
+
+def test_fused_matches_wavefront_mirror_exhaust():
+    """Parallel mirrors: exhaustion + emissive ISL paths."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.2, 0.3, 0.4)))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((3.0, 0.0, 0.0), (0.5, 8.0, 8.0), mirror, white)
+    b.add_box((-3.0, 0.0, 0.0), (0.5, 8.0, 8.0), mirror, white)
+    b.add_sphere((0.0, 0.0, -5.5), 1.0, light, white)
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.0), 16, 16, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=4))
+
+
+def test_fused_with_triangles():
+    scene = config1_scene(with_tri=True)
+    assert supports(scene)
+    cam = make_camera((0.0, 0.0, 0.5), 12, 12, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, config1_cfg())
+
+
+def test_fused_empty_scene_pure_sky():
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.3, 0.6, 0.9)))
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.0), 8, 8, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=2))
+
+
+def test_render_fused_backend_end_to_end():
+    from raytracer_js_tpu import render_hdr
+    from raytracer_js_tpu.config import HitBackend
+
+    scene = config1_scene()
+    cam = make_camera((0.0, 0.0, 0.5), 16, 16, np.pi / 2, np.pi / 2)
+    img_b = np.asarray(render_hdr(scene, cam, config1_cfg()))
+    img_f = np.asarray(render_hdr(scene, cam,
+                                  config1_cfg(backend=HitBackend.FUSED)))
+    np.testing.assert_allclose(img_f, img_b, rtol=1e-5, atol=1e-6)
+    # unsupported scene silently falls back to brute
+    glass = config1_scene(with_glass=True)
+    img_g = np.asarray(render_hdr(glass, cam,
+                                  config1_cfg(backend=HitBackend.FUSED)))
+    img_gb = np.asarray(render_hdr(glass, cam, config1_cfg()))
+    np.testing.assert_array_equal(img_g, img_gb)
