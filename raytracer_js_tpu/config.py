@@ -65,6 +65,9 @@ class ToneMapperKind(enum.IntEnum):
     IDENTITY = 0
     STDDEV_AROUND_MEAN = 1
     ABSDEV_AROUND_MEAN = 2
+    #: fixed [min_dynamic * 2^k, min_dynamic]-style window without stats
+    #: (reference DynamicRangeLimitedToneMapper, tone_mapping.ts:35-46)
+    DR_LIMITED = 3
 
 
 class HitBackend(enum.Enum):

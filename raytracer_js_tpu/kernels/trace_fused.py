@@ -157,9 +157,12 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t = jnp.where(t_enter <= t_exit, t, _INF)
             # winning slab axis -> face normal -sign(d_axis) e_axis with
             # x > y > z tie order (ops/intersect.box_surface argmax/argmin)
+            # boolean logic only: Mosaic cannot select between i1 vectors
             entering = t_enter >= 0.0
-            wx = jnp.where(entering, t0x == t_enter, t1x == t_exit)
-            wy = jnp.where(entering, t0y == t_enter, t1y == t_exit) & ~wx
+            wx = ((entering & (t0x == t_enter))
+                  | (~entering & (t1x == t_exit)))
+            wy = ((entering & (t0y == t_enter))
+                  | (~entering & (t1y == t_exit))) & ~wx
             wz = ~wx & ~wy
             sx = jnp.where(dx < 0.0, 1.0, -1.0)
             sy = jnp.where(dy < 0.0, 1.0, -1.0)

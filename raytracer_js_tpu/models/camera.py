@@ -84,11 +84,20 @@ def rotate_h(cam: Camera, angle) -> Camera:
     return cam.replace(front=front, left=left, up=up)
 
 
-def rotate_v(cam: Camera, angle) -> Camera:
+def rotate_v(cam: Camera, angle, lock: bool = False) -> Camera:
     """Vertical (pitch) rotation of the (front, up) pair (camera.ts:134-145).
-    The reference's vertical_locked clamp is a UI concern left to callers."""
+
+    ``lock=True`` reproduces the reference's vertical_locked behavior: the
+    rotation is rejected (camera unchanged) when it would pitch past
+    straight up/down, i.e. when the resulting up vector's Z turns negative
+    (camera.ts:136-141's clamp condition).
+    """
     c, s = jnp.cos(angle), jnp.sin(angle)
     front, up = vm.rotate_vectors(cam.front, cam.up, c, s)
+    if lock:
+        ok = up[2] >= 0.0
+        front = jnp.where(ok, front, cam.front)
+        up = jnp.where(ok, up, cam.up)
     return cam.replace(front=front, up=up)
 
 

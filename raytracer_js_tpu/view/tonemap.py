@@ -22,6 +22,8 @@ def dynamic_range(buf: ex.ExposureBuffer, cfg: ToneMapConfig) -> Tuple[Array, Ar
     """(drange_low, drange_high) for the display window.
 
     * IDENTITY — fixed [0, 1] (tone_mapping.ts:25-33);
+    * DR_LIMITED — statistics-free fixed window [min_dynamic,
+      min_dynamic * 2^k] (tone_mapping.ts:35-46);
     * STDDEV_AROUND_MEAN — hi = min(mean + std, max_dynamic), lo = hi/2^k,
       floored at min_dynamic with hi re-derived (tone_mapping.ts:48-63);
     * ABSDEV_AROUND_MEAN — same with mean absolute deviation
@@ -30,6 +32,10 @@ def dynamic_range(buf: ex.ExposureBuffer, cfg: ToneMapConfig) -> Tuple[Array, Ar
     if cfg.kind == ToneMapperKind.IDENTITY:
         z = jnp.zeros((), jnp.float32)
         return z, z + 1.0
+    if cfg.kind == ToneMapperKind.DR_LIMITED:
+        coef = float(1 << cfg.dynamic_range)
+        lo = jnp.asarray(cfg.min_dynamic, jnp.float32)
+        return lo, lo * coef
     mean = ex.luma_mean(buf)
     if cfg.kind == ToneMapperKind.STDDEV_AROUND_MEAN:
         dev = jnp.sqrt(ex.luma_variance(buf, mean))
