@@ -50,6 +50,8 @@ def main():
                     help="256x256 smoke configuration")
     ap.add_argument("--spheres", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--backward", action="store_true",
+                    help="measure backward (gradient) rays/s instead")
     args = ap.parse_args()
 
     import jax
@@ -61,10 +63,16 @@ def main():
     else:
         w, h = 1920, 1088  # 1080p rounded to a tile multiple of 8 rows
 
+    from raytracer_js_tpu.config import HitBackend
+
     scene = build_scene(args.spheres)
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2,
                       np.pi / 2 * h / w)
-    cfg = RenderConfig(refmax=2)
+    # FUSED: whole-trace Pallas kernel (falls back to BRUTE off-class)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.FUSED)
+
+    if args.backward:
+        return bench_backward(scene, cam, args, w, h)
 
     fn = jax.jit(lambda s: render_hdr(s, cam, cfg))
     img = jax.block_until_ready(fn(scene))            # compile + warm
@@ -90,6 +98,48 @@ def main():
             "best_s": dt, "times_s": times,
             "backend": str(cfg.backend), "device": str(jax.devices()[0]),
         },
+    }))
+
+
+def bench_backward(scene, cam, args, w, h):
+    """Backward (gradient) rays/s: one value_and_grad of the pixel L2 loss
+    through the differentiable BRUTE path wrt all float scene leaves
+    (BASELINE.md metric 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_js_tpu import RenderConfig
+    from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.parallel.sharding import float_partition
+    from raytracer_js_tpu.render import render_rays
+
+    cfg = RenderConfig(refmax=2)
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    key = jax.random.key(0)
+    params, rebuild = float_partition(scene)
+    target = jnp.zeros((org.shape[0], 3), jnp.float32)
+
+    def loss(params):
+        colors = render_rays(rebuild(params), cfg, org, dirs, key, rid)
+        return jnp.sum((colors - target) ** 2) / org.shape[0]
+
+    fn = jax.jit(jax.value_and_grad(loss))
+    jax.block_until_ready(fn(params))
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rays_per_s = w * h / dt
+    print(json.dumps({
+        "metric": "backward_rays_per_s_per_chip",
+        "value": rays_per_s,
+        "unit": "rays/s",
+        "vs_baseline": None,   # BASELINE: "measured & reported"
+        "detail": {"w": w, "h": h, "refmax": cfg.refmax,
+                   "spheres": args.spheres, "best_s": dt, "times_s": times},
     }))
 
 

@@ -131,7 +131,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        _row(sph_ref, 8 * s_pad, p),
                        _row(sph_ref, 9 * s_pad, p))
 
-        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry)
+        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry, unroll=4)
 
         # box rows: cx cy cz hx hy hz | r g b light cont  (11 blocks)
         def box_body(p, carry):
@@ -176,7 +176,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        _row(box_ref, 9 * b_pad, p),
                        _row(box_ref, 10 * b_pad, p))
 
-        carry = jax.lax.fori_loop(0, n_box, box_body, carry)
+        carry = jax.lax.fori_loop(0, n_box, box_body, carry, unroll=4)
 
         # tri rows: v0(3) v1(3) v2(3) gn(3) | r g b light cont  (17 blocks)
         def tri_body(p, carry):
@@ -216,7 +216,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        _row(tri_ref, 15 * r_pad, p),
                        _row(tri_ref, 16 * r_pad, p))
 
-        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry)
+        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry, unroll=4)
 
         (t_best, pid, nx, ny, nz, wr, wg, wb, w_light, w_cont) = carry
         hit = alive & (pid >= 0)
