@@ -4,7 +4,20 @@ Headline metric (BASELINE.md): primary rays/s per chip at 1080p, 2-bounce.
 ``vs_baseline`` is the ratio against the 1e9 rays/s/chip north-star target
 (the reference publishes no numbers of its own — BASELINE.md §"Published").
 
-Usage: python bench.py [--small] [--config N]
+Usage:
+    python bench.py [--small] [--backward]   # headline 1080p 2-bounce
+    python bench.py --config N               # BASELINE.md config 1..5
+
+Config modes (BASELINE.md "Benchmark configs"):
+    1: 64x64, 3 spheres + ground, 1 bounce (the CPU-oracle class)
+    2: 256x256, 50 spheres, 2 bounces
+    3: 512x512, 5k-triangle mesh + spheres, image textures + image sky,
+       3 bounces (PALLAS hit kernel + XLA shading — image textures are
+       outside the fused-kernel class)
+    4: 1080p, 100k primitives, full reflection path, depth-8 octree
+    5: 8-view batch inverse-rendering fit step, 1M primitives (the
+       multi-host config; single-chip runs report per-chip step time at a
+       reduced view resolution — see --c5-res)
 """
 from __future__ import annotations
 
@@ -44,6 +57,185 @@ def build_scene(n_spheres: int, seed: int = 42):
     return b.build()
 
 
+def build_config3_scene(subdiv: int = 4, seed: int = 3):
+    """512x512 class: 5k-triangle mesh + spheres, image-textured, image sky."""
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+    from raytracer_js_tpu.utils.mesh import icosphere
+
+    b = SceneBuilder(atlas_hw=(64, 64))
+    yy = np.linspace(0.0, 1.0, 64)[:, None] * np.ones((1, 64))
+    sky_img = np.stack([0.35 + 0.25 * yy, 0.45 + 0.25 * yy,
+                        0.65 + 0.2 * yy], -1).astype(np.float32)
+    b.set_sky(b.add_image_texture(sky_img))
+    check = (np.indices((64, 64)).sum(0) % 2).astype(np.float32)[..., None]
+    checker = (check * [0.55, 0.1, 0.1] + [0.25, 0.3, 0.35]).astype(np.float32)
+    tex_check = b.add_image_texture(checker)
+    grey = b.add_solid_texture((0.55, 0.55, 0.6))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    gold = b.add_solid_texture((0.9, 0.75, 0.3))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((0.0, 0.0, -51.0), 100.0, diffuse, grey)
+    v, f = icosphere(subdiv, radius=1.2, center=(6.0, 0.0, 1.0))  # 5120 tris
+    b.add_mesh(v, f, mirror, gold)
+    b.add_sphere((4.0, -2.0, 0.6), 0.8, mirror, white)
+    b.add_sphere((4.0, 2.2, 0.7), 0.9, diffuse, tex_check)
+    b.add_sphere((6.0, 1.0, 5.0), 1.2, light, white)
+    return b.build()
+
+
+def build_config4_scene(n_prims: int = 100_000, seed: int = 7):
+    """1080p class: n_prims primitives, full reflection path.
+
+    Uniform sphere field over a slab in front of the camera, a ground box,
+    and an emissive sphere; every 3rd sphere is a mirror so multi-bounce
+    reflection paths stay hot.
+    """
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    grey = b.add_solid_texture((0.6, 0.6, 0.6))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((20.0, 0.0, -52.0), 100.0, diffuse, grey)
+    rng = np.random.default_rng(seed)
+    n_s = n_prims - 2
+    centers = rng.uniform([4.0, -20.0, -1.0], [44.0, 20.0, 7.0], (n_s, 3))
+    radii = rng.uniform(0.05, 0.18, n_s)
+    palette = [b.add_solid_texture(rng.uniform(0.2, 1.0, 3))
+               for _ in range(16)]
+    for i in range(n_s):
+        b.add_sphere(centers[i], float(radii[i]),
+                     mirror if i % 3 == 0 else diffuse, palette[i % 16])
+    b.add_sphere((24.0, 0.0, 14.0), 3.0, light, white)
+    return b.build()
+
+
+def _time_best(fn, arg, repeats):
+    import jax
+
+    jax.block_until_ready(fn(arg))           # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(arg))
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+def run_config(args):
+    """BASELINE.md benchmark configs 1-5; prints one JSON line."""
+    import jax
+
+    from raytracer_js_tpu import RenderConfig, make_camera, render_hdr
+    from raytracer_js_tpu.config import HitBackend, OctreeConfig
+
+    n = args.config
+    detail = {"config": n, "device": str(jax.devices()[0])}
+    if n == 1:
+        from tests.scenes import config1_scene
+
+        scene, (w, h) = config1_scene(), (64, 64)
+        cfg = RenderConfig(refmax=1, backend=HitBackend.FUSED)
+        accel = None
+    elif n == 2:
+        scene, (w, h) = build_scene(50), (256, 256)
+        cfg = RenderConfig(refmax=2, backend=HitBackend.FUSED)
+        accel = None
+    elif n == 3:
+        scene, (w, h) = build_config3_scene(), (512, 512)
+        cfg = RenderConfig(refmax=3, backend=HitBackend.PALLAS)
+        accel = None
+        detail["n_tris"] = scene.n_tris
+    elif n == 4:
+        from raytracer_js_tpu.accel.octree import build_octree
+
+        scene, (w, h) = build_config4_scene(args.c4_prims), (1920, 1088)
+        cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
+        accel = build_octree(scene, OctreeConfig(max_depth=8))
+        detail.update(n_prims=scene.n_prims, octree_depth=8,
+                      max_per_cell=accel.max_per_cell)
+    elif n == 5:
+        return run_config5(args)
+    else:
+        raise SystemExit(f"unknown --config {n}")
+
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))
+    img = jax.block_until_ready(fn(scene))
+    assert np.isfinite(np.asarray(img)).all()
+    dt, times = _time_best(fn, scene, args.repeats)
+    rays = w * h * cfg.spp
+    detail.update(w=w, h=h, refmax=cfg.refmax, best_s=dt, times_s=times,
+                  backend=str(cfg.backend))
+    print(json.dumps({
+        "metric": f"config{n}_rays_per_s_per_chip",
+        "value": rays / dt,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "detail": detail,
+    }))
+
+
+def run_config5(args):
+    """Config 5: 8-view inverse-rendering fit step over a 1M-prim scene.
+
+    The full shape (1080p x 8 views, N>=2 hosts) is the multi-host target;
+    a single chip runs the same step at ``--c5-res`` per view and reports
+    backward rays/s/chip. Host sharding is exercised separately by
+    bench_scaling.py / __graft_entry__.dryrun_multichip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_js_tpu import RenderConfig, make_camera
+    from raytracer_js_tpu.accel.octree import build_octree
+    from raytracer_js_tpu.config import HitBackend, OctreeConfig
+    from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.parallel.sharding import float_partition
+    from raytracer_js_tpu.render import render_rays
+
+    w, h = args.c5_res
+    views = 8
+    scene = build_config4_scene(args.c5_prims)
+    accel = build_octree(scene, OctreeConfig(max_depth=8))
+    cams = [make_camera((0.0, float(v - views // 2), 0.5), w, h,
+                        np.pi / 2, np.pi / 2 * h / w) for v in range(views)]
+    rays_dirs = [pixel_rays(c) for c in cams]
+    key = jax.random.key(0)
+    params, rebuild = float_partition(scene)
+    n_pix = w * h
+
+    def loss(params):
+        total = jnp.zeros((), jnp.float32)
+        for v, (org, dirs) in enumerate(rays_dirs):
+            rid = jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix
+            colors = render_rays(rebuild(params), RenderConfig(
+                refmax=2, backend=HitBackend.OCTREE), org, dirs, key, rid,
+                accel=accel)
+            total = total + jnp.sum(colors ** 2)
+        return total / (views * n_pix)
+
+    fn = jax.jit(jax.value_and_grad(loss))
+    dt, times = _time_best(fn, params, max(2, args.repeats // 2))
+    rays = views * n_pix
+    print(json.dumps({
+        "metric": "config5_backward_rays_per_s_per_chip",
+        "value": rays / dt,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "detail": {"config": 5, "views": views, "w": w, "h": h,
+                   "n_prims": scene.n_prims, "best_s": dt, "times_s": times,
+                   "device": str(jax.devices()[0]),
+                   "note": "multi-host shape is 1080p/view on N>=2 hosts; "
+                           "sharding exercised by bench_scaling.py"},
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -52,7 +244,16 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--backward", action="store_true",
                     help="measure backward (gradient) rays/s instead")
+    ap.add_argument("--config", type=int, default=0,
+                    help="run BASELINE.md config N (1..5) instead")
+    ap.add_argument("--c4-prims", type=int, default=100_000)
+    ap.add_argument("--c5-prims", type=int, default=1_000_000)
+    ap.add_argument("--c5-res", type=int, nargs=2, default=(192, 112),
+                    metavar=("W", "H"))
     args = ap.parse_args()
+
+    if args.config:
+        return run_config(args)
 
     import jax
 

@@ -31,7 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EPS_ADVANCE, JS_EPSILON, RayStatus, RenderConfig, ResponseType
 from ..models.scene import Scene
-from .nearest_hit import SP_LANE, SP_SUB, _ray_cols, _row, pack_replicated
+import os
+
+from .nearest_hit import SP_LANE, _ray_cols, _row, pack_replicated
+
+#: ray-tile sublanes for the fused kernel (rays per program = FUSE_SUB*128).
+#: Tunable for experiments via RT_FUSE_SUB; smaller tiles reduce VMEM spill
+#: pressure of the per-bounce live set, larger tiles amortize prim row loads.
+FUSE_SUB = int(os.environ.get("RT_FUSE_SUB", "256"))
 
 Array = jnp.ndarray
 
@@ -44,6 +51,11 @@ _LIGHT = int(RayStatus.LIGHT)
 _KEEP = int(RayStatus.KEEP)
 _MISS = int(RayStatus.MISS)
 _EXHAUST = int(RayStatus.EXHAUST)
+
+
+def _unroll(n: int) -> int | bool:
+    """Mosaic fori_loop lowering supports only full unroll or none."""
+    return n if 0 < n <= 128 else 1
 
 
 def supports(scene: Scene) -> bool:
@@ -83,34 +95,25 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
         zero = jnp.zeros(shape, jnp.float32)
-        one = jnp.ones(shape, jnp.float32)
-        # carry: t, pid, winning normal, winning rgb, light flag, cont flag.
-        # Candidate attributes update the carry at each improving prim, so
-        # the winner needs no post-loop gather.
-        carry = (jnp.full(shape, _INF, jnp.float32),
-                 jnp.full(shape, -1, jnp.int32),
-                 zero, zero, zero,      # normal
-                 one, one, one,         # rgb
-                 zero, zero)            # is_light, cont
 
-        def upd(carry, t, p_glob, nx, ny, nz, rr, gg, bb, li, co):
-            t_best, pid, wnx, wny, wnz, wr, wg, wb, wl, wc = carry
+        # ---- phase 1: hit search. Carry is (t, pid) ONLY — winner
+        # attributes are extracted afterwards by pid-match, so each
+        # candidate costs ~half the VPU ops of the attribute-carrying
+        # variant (no per-candidate normal, no 8-wide select cascade).
+        best = (jnp.full(shape, _INF, jnp.float32),
+                jnp.full(shape, -1, jnp.int32))
+
+        def upd(best, t, p_glob):
+            t_best, pid = best
             u = t < t_best
-            return (jnp.where(u, t, t_best),
-                    jnp.where(u, p_glob, pid),
-                    jnp.where(u, nx, wnx), jnp.where(u, ny, wny),
-                    jnp.where(u, nz, wnz),
-                    jnp.where(u, rr, wr), jnp.where(u, gg, wg),
-                    jnp.where(u, bb, wb),
-                    jnp.where(u, li, wl), jnp.where(u, co, wc))
+            return jnp.where(u, t, t_best), jnp.where(u, p_glob, pid)
 
         # sphere rows: cx cy cz ccmr inv_r | r g b light cont  (10 blocks)
-        def sph_body(p, carry):
+        def sph_body(p, best):
             cx = _row(sph_ref, 0, p)
             cy = _row(sph_ref, s_pad, p)
             cz = _row(sph_ref, 2 * s_pad, p)
             ccmr = _row(sph_ref, 3 * s_pad, p)
-            inv_r = _row(sph_ref, 4 * s_pad, p)
             b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
             c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
             disc = b_half * b_half - a * c
@@ -120,21 +123,12 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t = jnp.where(t_near >= 0.0, t_near,
                           jnp.where(t_far >= 0.0, t_far, _INF))
             t = jnp.where(disc >= 0.0, t, _INF)
-            nx = (ox + t * dx - cx) * inv_r
-            ny = (oy + t * dy - cy) * inv_r
-            nz = (oz + t * dz - cz) * inv_r
-            flip = jnp.where(dx * nx + dy * ny + dz * nz > 0.0, -1.0, 1.0)
-            return upd(carry, t, p, nx * flip, ny * flip, nz * flip,
-                       _row(sph_ref, 5 * s_pad, p),
-                       _row(sph_ref, 6 * s_pad, p),
-                       _row(sph_ref, 7 * s_pad, p),
-                       _row(sph_ref, 8 * s_pad, p),
-                       _row(sph_ref, 9 * s_pad, p))
+            return upd(best, t, p)
 
-        carry = jax.lax.fori_loop(0, n_sph, sph_body, carry, unroll=4)
+        best = jax.lax.fori_loop(0, n_sph, sph_body, best, unroll=_unroll(n_sph))
 
         # box rows: cx cy cz hx hy hz | r g b light cont  (11 blocks)
-        def box_body(p, carry):
+        def box_body(p, best):
             cx = _row(box_ref, 0, p)
             cy = _row(box_ref, b_pad, p)
             cz = _row(box_ref, 2 * b_pad, p)
@@ -147,39 +141,21 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tby = (cy + hy - oy) * iy
             taz = (cz - hz - oz) * iz
             tbz = (cz + hz - oz) * iz
-            t0x, t1x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
-            t0y, t1y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
-            t0z, t1z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
-            t_enter = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
-            t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+            t_enter = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                              jnp.minimum(tay, tby)),
+                                  jnp.minimum(taz, tbz))
+            t_exit = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                             jnp.maximum(tay, tby)),
+                                 jnp.maximum(taz, tbz))
             t = jnp.where(t_enter >= 0.0, t_enter,
                           jnp.where(t_exit >= 0.0, t_exit, _INF))
             t = jnp.where(t_enter <= t_exit, t, _INF)
-            # winning slab axis -> face normal -sign(d_axis) e_axis with
-            # x > y > z tie order (ops/intersect.box_surface argmax/argmin)
-            # boolean logic only: Mosaic cannot select between i1 vectors
-            entering = t_enter >= 0.0
-            wx = ((entering & (t0x == t_enter))
-                  | (~entering & (t1x == t_exit)))
-            wy = ((entering & (t0y == t_enter))
-                  | (~entering & (t1y == t_exit))) & ~wx
-            wz = ~wx & ~wy
-            sx = jnp.where(dx < 0.0, 1.0, -1.0)
-            sy = jnp.where(dy < 0.0, 1.0, -1.0)
-            sz = jnp.where(dz < 0.0, 1.0, -1.0)
-            return upd(carry, t, p + n_sph,
-                       jnp.where(wx, sx, 0.0), jnp.where(wy, sy, 0.0),
-                       jnp.where(wz, sz, 0.0),
-                       _row(box_ref, 6 * b_pad, p),
-                       _row(box_ref, 7 * b_pad, p),
-                       _row(box_ref, 8 * b_pad, p),
-                       _row(box_ref, 9 * b_pad, p),
-                       _row(box_ref, 10 * b_pad, p))
+            return upd(best, t, p + n_sph)
 
-        carry = jax.lax.fori_loop(0, n_box, box_body, carry, unroll=4)
+        best = jax.lax.fori_loop(0, n_box, box_body, best, unroll=_unroll(n_box))
 
         # tri rows: v0(3) v1(3) v2(3) gn(3) | r g b light cont  (17 blocks)
-        def tri_body(p, carry):
+        def tri_body(p, best):
             v0x = _row(tri_ref, 0, p)
             v0y = _row(tri_ref, r_pad, p)
             v0z = _row(tri_ref, 2 * r_pad, p)
@@ -189,9 +165,6 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             e2x = _row(tri_ref, 6 * r_pad, p) - v0x
             e2y = _row(tri_ref, 7 * r_pad, p) - v0y
             e2z = _row(tri_ref, 8 * r_pad, p) - v0z
-            gnx = _row(tri_ref, 9 * r_pad, p)
-            gny = _row(tri_ref, 10 * r_pad, p)
-            gnz = _row(tri_ref, 11 * r_pad, p)
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -206,19 +179,134 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
                   & (u + v <= 1.0) & (t >= 0.0))
-            t = jnp.where(ok, t, _INF)
-            flip = jnp.where(dx * gnx + dy * gny + dz * gnz > 0.0, -1.0, 1.0)
-            return upd(carry, t, p + n_sph + n_box,
-                       gnx * flip, gny * flip, gnz * flip,
-                       _row(tri_ref, 12 * r_pad, p),
-                       _row(tri_ref, 13 * r_pad, p),
-                       _row(tri_ref, 14 * r_pad, p),
-                       _row(tri_ref, 15 * r_pad, p),
-                       _row(tri_ref, 16 * r_pad, p))
+            return upd(best, jnp.where(ok, t, _INF), p + n_sph + n_box)
 
-        carry = jax.lax.fori_loop(0, n_tri, tri_body, carry, unroll=4)
+        best = jax.lax.fori_loop(0, n_tri, tri_body, best, unroll=_unroll(n_tri))
 
-        (t_best, pid, nx, ny, nz, wr, wg, wb, w_light, w_cont) = carry
+        t_best, pid = best
+
+        # ---- phase 2: winner attribute extraction by pid match. One
+        # lane-replicated row select cascade per primitive, then ONE
+        # normal recompute per class per bounce (instead of per candidate).
+        one = jnp.ones(shape, jnp.float32)
+        wr, wg, wb = one, one, one
+        w_light, w_cont = zero, zero
+        # sphere winner params
+        s_cx, s_cy, s_cz, s_ir = zero, zero, zero, zero
+        # box winner params
+        b_cx, b_cy, b_cz = zero, zero, zero
+        b_hx, b_hy, b_hz = zero, zero, zero
+        # triangle winner normal
+        t_nx, t_ny, t_nz = zero, zero, zero
+
+        def sph_pick(p, acc):
+            wr, wg, wb, wl, wc, cx, cy, cz, ir = acc
+            m = pid == p
+            return (jnp.where(m, _row(sph_ref, 5 * s_pad, p), wr),
+                    jnp.where(m, _row(sph_ref, 6 * s_pad, p), wg),
+                    jnp.where(m, _row(sph_ref, 7 * s_pad, p), wb),
+                    jnp.where(m, _row(sph_ref, 8 * s_pad, p), wl),
+                    jnp.where(m, _row(sph_ref, 9 * s_pad, p), wc),
+                    jnp.where(m, _row(sph_ref, 0, p), cx),
+                    jnp.where(m, _row(sph_ref, s_pad, p), cy),
+                    jnp.where(m, _row(sph_ref, 2 * s_pad, p), cz),
+                    jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
+
+        (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
+         ) = jax.lax.fori_loop(0, n_sph, sph_pick,
+                               (wr, wg, wb, w_light, w_cont,
+                                s_cx, s_cy, s_cz, s_ir),
+                               unroll=_unroll(n_sph))
+
+        def box_pick(p, acc):
+            wr, wg, wb, wl, wc, cx, cy, cz, hx, hy, hz = acc
+            m = pid == p + n_sph
+            return (jnp.where(m, _row(box_ref, 6 * b_pad, p), wr),
+                    jnp.where(m, _row(box_ref, 7 * b_pad, p), wg),
+                    jnp.where(m, _row(box_ref, 8 * b_pad, p), wb),
+                    jnp.where(m, _row(box_ref, 9 * b_pad, p), wl),
+                    jnp.where(m, _row(box_ref, 10 * b_pad, p), wc),
+                    jnp.where(m, _row(box_ref, 0, p), cx),
+                    jnp.where(m, _row(box_ref, b_pad, p), cy),
+                    jnp.where(m, _row(box_ref, 2 * b_pad, p), cz),
+                    jnp.where(m, _row(box_ref, 3 * b_pad, p), hx),
+                    jnp.where(m, _row(box_ref, 4 * b_pad, p), hy),
+                    jnp.where(m, _row(box_ref, 5 * b_pad, p), hz))
+
+        (wr, wg, wb, w_light, w_cont, b_cx, b_cy, b_cz, b_hx, b_hy, b_hz
+         ) = jax.lax.fori_loop(0, n_box, box_pick,
+                               (wr, wg, wb, w_light, w_cont,
+                                b_cx, b_cy, b_cz, b_hx, b_hy, b_hz),
+                               unroll=_unroll(n_box))
+
+        def tri_pick(p, acc):
+            wr, wg, wb, wl, wc, gx, gy, gz = acc
+            m = pid == p + n_sph + n_box
+            return (jnp.where(m, _row(tri_ref, 12 * r_pad, p), wr),
+                    jnp.where(m, _row(tri_ref, 13 * r_pad, p), wg),
+                    jnp.where(m, _row(tri_ref, 14 * r_pad, p), wb),
+                    jnp.where(m, _row(tri_ref, 15 * r_pad, p), wl),
+                    jnp.where(m, _row(tri_ref, 16 * r_pad, p), wc),
+                    jnp.where(m, _row(tri_ref, 9 * r_pad, p), gx),
+                    jnp.where(m, _row(tri_ref, 10 * r_pad, p), gy),
+                    jnp.where(m, _row(tri_ref, 11 * r_pad, p), gz))
+
+        (wr, wg, wb, w_light, w_cont, t_nx, t_ny, t_nz
+         ) = jax.lax.fori_loop(0, n_tri, tri_pick,
+                               (wr, wg, wb, w_light, w_cont,
+                                t_nx, t_ny, t_nz),
+                               unroll=_unroll(n_tri))
+
+        # ---- winner normal, once per bounce --------------------------------
+        is_sph = (pid >= 0) & (pid < n_sph)
+        is_box = (pid >= n_sph) & (pid < n_sph + n_box)
+        is_tri = pid >= n_sph + n_box
+        t_fin = jnp.where(t_best < _INF, t_best, 0.0)
+        hx_ = ox + t_fin * dx
+        hy_ = oy + t_fin * dy
+        hz_ = oz + t_fin * dz
+        # sphere: (hit - c) / r, flipped against the incoming direction
+        nx = (hx_ - s_cx) * s_ir
+        ny = (hy_ - s_cy) * s_ir
+        nz = (hz_ - s_cz) * s_ir
+        if n_box:
+            # box: recompute the slab test for the single winner
+            tax = (b_cx - b_hx - ox) * ix
+            tbx = (b_cx + b_hx - ox) * ix
+            tay = (b_cy - b_hy - oy) * iy
+            tby = (b_cy + b_hy - oy) * iy
+            taz = (b_cz - b_hz - oz) * iz
+            tbz = (b_cz + b_hz - oz) * iz
+            t0x, t1x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
+            t0y, t1y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
+            t0z, t1z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
+            t_enter = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
+            t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+            # winning slab axis -> face normal -sign(d_axis) e_axis with
+            # x > y > z tie order (ops/intersect.box_surface argmax/argmin)
+            # boolean logic only: Mosaic cannot select between i1 vectors
+            entering = t_enter >= 0.0
+            wx = ((entering & (t0x == t_enter))
+                  | (~entering & (t1x == t_exit)))
+            wy = ((entering & (t0y == t_enter))
+                  | (~entering & (t1y == t_exit))) & ~wx
+            wz = ~wx & ~wy
+            sx = jnp.where(dx < 0.0, 1.0, -1.0)
+            sy = jnp.where(dy < 0.0, 1.0, -1.0)
+            sz = jnp.where(dz < 0.0, 1.0, -1.0)
+            nx = jnp.where(is_box, jnp.where(wx, sx, 0.0), nx)
+            ny = jnp.where(is_box, jnp.where(wy, sy, 0.0), ny)
+            nz = jnp.where(is_box, jnp.where(wz, sz, 0.0), nz)
+        if n_tri:
+            nx = jnp.where(is_tri, t_nx, nx)
+            ny = jnp.where(is_tri, t_ny, ny)
+            nz = jnp.where(is_tri, t_nz, nz)
+        # flip toward the incoming ray (sphere inside view / tri winding);
+        # box normals already face against the ray by construction.
+        do_flip = is_sph | is_tri
+        flip = jnp.where(do_flip & (dx * nx + dy * ny + dz * nz > 0.0),
+                         -1.0, 1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
         hit = alive & (pid >= 0)
         lit = hit & (w_light > 0.5)
         cont = hit & (w_cont > 0.5) & ~lit
@@ -241,9 +329,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         rdx = dx - 2.0 * d_dot_n * nx
         rdy = dy - 2.0 * d_dot_n * ny
         rdz = dz - 2.0 * d_dot_n * nz
-        hx_ = ox + t_best * dx
-        hy_ = oy + t_best * dy
-        hz_ = oz + t_best * dz
+        # hit point (hx_, hy_, hz_) was computed with the normals above
         ox = jnp.where(cont, hx_ + EPS_ADVANCE * rdx, ox)
         oy = jnp.where(cont, hy_ + EPS_ADVANCE * rdy, oy)
         oz = jnp.where(cont, hz_ + EPS_ADVANCE * rdz, oz)
@@ -277,11 +363,11 @@ def _trace_call(cols, sph, box, tri, sky, meta, refmax, atten,
                 interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     rows = cols[0].shape[0]
-    grid = (rows // SP_SUB,)
+    grid = (rows // FUSE_SUB,)
     kern = functools.partial(_trace_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
                              r_pad=r_pad, refmax=refmax, atten=atten)
-    ray_spec = pl.BlockSpec((SP_SUB, SP_LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
@@ -308,7 +394,7 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = org.shape[0]
-    quant = SP_SUB * SP_LANE
+    quant = FUSE_SUB * SP_LANE
     n_pad = -(-n // quant) * quant
     cols = _ray_cols(org, dir, n_pad)
 
