@@ -65,10 +65,10 @@ def supports(scene: Scene) -> bool:
 
 
 def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  sph_ref, box_ref, tri_ref, sky_ref,
+                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref, scnt_ref,
                   cr_ref, cg_ref, cb_ref, st_ref,
                   *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                  refmax, atten):
+                  refmax, atten, use_short, s_cap):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     shape = ox.shape
@@ -86,7 +86,14 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         d_safe = jnp.where(tiny, jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS), d)
         return 1.0 / d_safe
 
+    blk = pl.program_id(0)
+    n_short = scnt_ref[blk, 0] if use_short else None
+
     for _bounce in range(refmax):
+        # bounce 0 of a shared-origin wavefront only needs the spheres whose
+        # bounding cone test passed on the host side (per-block frustum
+        # culling); later bounces have divergent origins -> full scan.
+        short = use_short and _bounce == 0
         alive = status == _ALIVE
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
@@ -125,7 +132,20 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t = jnp.where(disc >= 0.0, t, _INF)
             return upd(best, t, p)
 
-        best = jax.lax.fori_loop(0, n_sph, sph_body, best, unroll=_unroll(n_sph))
+        if short:
+            # statically-capped unrolled pass over the block shortlist
+            # (under-full lists are padded with duplicate ids — harmless
+            # for a running min), plus a dynamic tail for the rare block
+            # whose list overflows the cap (usually zero-trip).
+            best = jax.lax.fori_loop(
+                0, s_cap, lambda j, b: sph_body(sid_ref[blk, j], b), best,
+                unroll=_unroll(s_cap))
+            best = jax.lax.fori_loop(
+                s_cap, jnp.maximum(n_short, s_cap),
+                lambda j, b: sph_body(sid_ref[blk, j], b), best)
+        else:
+            best = jax.lax.fori_loop(0, n_sph, sph_body, best,
+                                     unroll=_unroll(n_sph))
 
         # box rows: cx cy cz hx hy hz | r g b light cont  (11 blocks)
         def box_body(p, best):
@@ -212,11 +232,20 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     jnp.where(m, _row(sph_ref, 2 * s_pad, p), cz),
                     jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
 
-        (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
-         ) = jax.lax.fori_loop(0, n_sph, sph_pick,
-                               (wr, wg, wb, w_light, w_cont,
-                                s_cx, s_cy, s_cz, s_ir),
-                               unroll=_unroll(n_sph))
+        sph_pick_acc = (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir)
+        if short:
+            sph_pick_acc = jax.lax.fori_loop(
+                0, s_cap, lambda j, acc: sph_pick(sid_ref[blk, j], acc),
+                sph_pick_acc, unroll=_unroll(s_cap))
+            (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
+             ) = jax.lax.fori_loop(
+                s_cap, jnp.maximum(n_short, s_cap),
+                lambda j, acc: sph_pick(sid_ref[blk, j], acc),
+                sph_pick_acc)
+        else:
+            (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
+             ) = jax.lax.fori_loop(0, n_sph, sph_pick, sph_pick_acc,
+                                   unroll=_unroll(n_sph))
 
         def box_pick(p, acc):
             wr, wg, wb, wl, wc, cx, cy, cz, hx, hy, hz = acc
@@ -358,29 +387,91 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("meta", "refmax", "atten", "interpret"))
-def _trace_call(cols, sph, box, tri, sky, meta, refmax, atten,
-                interpret=False):
+                   static_argnames=("meta", "refmax", "atten", "use_short",
+                                    "s_cap", "interpret"))
+def _trace_call(cols, sph, box, tri, sky, sid, scnt, meta, refmax, atten,
+                use_short, s_cap=0, interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     rows = cols[0].shape[0]
     grid = (rows // FUSE_SUB,)
     kern = functools.partial(_trace_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
-                             r_pad=r_pad, refmax=refmax, atten=atten)
+                             r_pad=r_pad, refmax=refmax, atten=atten,
+                             use_short=use_short, s_cap=s_cap)
     ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
+    # SMEM blocks must match full array dims; programs index rows by
+    # pl.program_id instead of a blocked index_map
+    sid_spec = pl.BlockSpec(sid.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    scnt_spec = pl.BlockSpec(scnt.shape, lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[ray_spec] * 6 + [full(sph), full(box), full(tri),
-                                   full(sky)],
+                                   full(sky), sid_spec, scnt_spec],
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
         interpret=interpret,
-    )(*cols, sph, box, tri, sky)
+    )(*cols, sph, box, tri, sky, sid, scnt)
+
+
+#: below this sphere count the full unrolled scan beats the shortlist's
+#: dynamic-trip-count loop
+SHORTLIST_MIN_SPHERES = int(os.environ.get("RT_SHORTLIST_MIN", "16"))
+
+
+def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
+                       nblk: int, s_pad: int) -> Tuple[Array, Array]:
+    """Conservative per-ray-block sphere shortlists -> (ids [nblk, s_pad],
+    counts [nblk, 1], both int32).
+
+    Each grid program traces a block of consecutive rays; bound the block by
+    a direction cone (axis = mean dir, half-angle theta from the worst ray)
+    around an origin ball (center o0, radius ro), then keep sphere ``s`` iff
+    the ball-inflated sphere intersects the cone:
+
+        dist <= r + ro                    (origin ball inside the sphere), or
+        cos(beta) >= cos(alpha + theta)   (angular overlap test)
+
+    with sin(alpha) = (r+ro)/dist, beta = angle(center - o0, axis). Blocks
+    whose direction spread is too wide for the cone identity (cos theta
+    small) conservatively keep every sphere. This is exact culling — a
+    rejected sphere provably cannot be hit by any ray of the block — so the
+    fused kernel stays bit-identical to the full scan.
+    """
+    dn = dir / jnp.maximum(
+        jnp.linalg.norm(dir, axis=-1, keepdims=True), 1e-20)
+    db = dn.reshape(nblk, -1, 3)
+    ob = org.reshape(nblk, -1, 3)
+    axis = jnp.mean(db, axis=1)
+    axis = axis / jnp.maximum(
+        jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20)
+    cos_t = jnp.min(jnp.einsum("brk,bk->br", db, axis), axis=1)
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    o0 = jnp.mean(ob, axis=1)                                    # [nblk, 3]
+    ro = jnp.max(jnp.linalg.norm(ob - o0[:, None], axis=-1), axis=1)
+    v = centers[None, :, :] - o0[:, None, :]                     # [nblk, S, 3]
+    dist = jnp.linalg.norm(v, axis=-1)
+    rr = radii[None, :] + ro[:, None]
+    inside = dist <= rr * (1.0 + 1e-5) + 1e-7
+    sin_a = jnp.clip(rr / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    cos_b = jnp.einsum("bsk,bk->bs", v, axis) / jnp.maximum(dist, 1e-20)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    cos_at = cos_a * cos_t[:, None] - sin_a * sin_t[:, None]
+    include = inside | (cos_b >= cos_at - 1e-5)
+    # wide direction spread: cone test unreliable -> keep all
+    include = include | (cos_t[:, None] < 0.25)
+    counts = jnp.sum(include, axis=1).astype(jnp.int32)[:, None]
+    order = jnp.argsort(~include, axis=1, stable=True).astype(jnp.int32)
+    ids = jnp.zeros((nblk, s_pad), jnp.int32)
+    ids = ids.at[:, : order.shape[1]].set(order)
+    return ids, counts
 
 
 def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
@@ -396,6 +487,14 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     n = org.shape[0]
     quant = FUSE_SUB * SP_LANE
     n_pad = -(-n // quant) * quant
+    if n_pad != n:
+        # edge-replicate (not constant-pad) so padded rays stay inside the
+        # per-block culling cones; their outputs are sliced off below
+        rep = (n_pad - n,)
+        org = jnp.concatenate(
+            [org, jnp.broadcast_to(org[-1], rep + (3,))], axis=0)
+        dir = jnp.concatenate(
+            [dir, jnp.broadcast_to(dir[-1], rep + (3,))], axis=0)
     cols = _ray_cols(org, dir, n_pad)
 
     def pad8(x):
@@ -447,9 +546,24 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
 
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
             s_pad, b_pad, r_pad)
+    nblk = n_pad // quant
+    use_short = (scene.n_spheres >= SHORTLIST_MIN_SPHERES
+                 and not os.environ.get("RT_NO_SHORTLIST"))
+    s_cap = 0
+    if use_short:
+        sid, scnt = _sphere_shortlists(
+            org, dir, scene.sphere_center, scene.sphere_radius, nblk, s_pad)
+        # static cap for the unrolled shortlist pass; the dynamic tail covers
+        # the rare block with a longer list
+        s_cap = int(os.environ.get("RT_SHORT_CAP", "0")) or min(
+            s_pad, max(8, -(-scene.n_spheres // 4) + 4))
+    else:
+        sid = jnp.zeros((nblk, s_pad), jnp.int32)
+        scnt = jnp.zeros((nblk, 1), jnp.int32)
     cr, cg, cb, st = _trace_call(
-        cols, sph, box, tri, sky, meta, int(cfg.refmax),
-        float(cfg.distance_attenuation_factor), interpret=interpret)
+        cols, sph, box, tri, sky, sid, scnt, meta, int(cfg.refmax),
+        float(cfg.distance_attenuation_factor), use_short, s_cap,
+        interpret=interpret)
     color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                        cb.reshape(-1)[:n]], axis=-1)
     return color, st.reshape(-1)[:n]

@@ -138,17 +138,35 @@ def nearest_hit(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                 accel=None) -> Tuple[Array, Array]:
     """Backend dispatch for the nearest-hit search (all discrete; callers
     stop_gradient the results)."""
-    if cfg.backend == HitBackend.BRUTE or accel is None:
-        return nearest_hit_brute(scene, org, dir)
-    if cfg.backend == HitBackend.OCTREE:
+    if cfg.backend in (HitBackend.PALLAS, HitBackend.OCTREE):
+        # The search is discrete (callers stop_gradient its outputs), but
+        # these backends also cannot be *linearized* — pallas_call has no
+        # JVP rule and the DDA is a while_loop — so sever gradients at the
+        # inputs too: the search then traces as a purely primal subgraph.
+        org = jax.lax.stop_gradient(org)
+        dir = jax.lax.stop_gradient(dir)
+        scene = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
+    if cfg.backend == HitBackend.PALLAS:
+        # needs no accel structure; pick the kernel variant by scene size
+        # (the tile kernel pays a 128-lane floor per prim class, the
+        # scalar-broadcast variant pays per true primitive — see
+        # kernels/nearest_hit module docstrings)
+        from ..kernels.nearest_hit import (nearest_hit_pallas,
+                                           nearest_hit_pallas_scalar)
+
+        if scene.n_prims and scene.n_prims <= 384:
+            return nearest_hit_pallas_scalar(scene, org, dir)
+        return nearest_hit_pallas(scene, org, dir)
+    if cfg.backend == HitBackend.OCTREE and accel is not None:
         from ..accel.octree import nearest_hit_octree
 
         return nearest_hit_octree(scene, accel, org, dir)
-    if cfg.backend == HitBackend.PALLAS:
-        from ..kernels.nearest_hit import nearest_hit_pallas
-
-        return nearest_hit_pallas(scene, org, dir)
-    raise ValueError(f"unknown backend {cfg.backend}")
+    if cfg.backend not in (HitBackend.BRUTE, HitBackend.OCTREE,
+                           HitBackend.FUSED):
+        raise ValueError(f"unknown backend {cfg.backend}")
+    # BRUTE, OCTREE without a built accel, and FUSED reaching the XLA loop
+    # (off-class scenes) all use the dense search.
+    return nearest_hit_brute(scene, org, dir)
 
 
 # ---------------------------------------------------------------------------

@@ -118,3 +118,25 @@ def test_grad_finite_with_glass_and_tri():
     g = jax.grad(lambda p: _loss_tpu(rebuild(p), cam, cfg))(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_grad_through_pallas_hit_backend():
+    """The PALLAS hit search is stop_gradient'ed discrete structure: grads
+    through the surface recompute must equal the BRUTE-backend grads
+    exactly (same argmin winners, same VJP graph)."""
+    from raytracer_js_tpu.config import HitBackend
+    from raytracer_js_tpu.parallel.sharding import float_partition
+
+    scene = config1_scene()
+    cam = config1_camera(12, 12)
+    params, rebuild = float_partition(scene)
+
+    def loss(p, backend):
+        return _loss_tpu(rebuild(p), cam, config1_cfg(backend=backend))
+
+    g_brute = jax.grad(loss)(params, HitBackend.BRUTE)
+    g_pallas = jax.grad(loss)(params, HitBackend.PALLAS)
+    for a, b in zip(jax.tree_util.tree_leaves(g_brute),
+                    jax.tree_util.tree_leaves(g_pallas)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)

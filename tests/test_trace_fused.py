@@ -71,6 +71,45 @@ def test_fused_empty_scene_pure_sky():
     _compare(scene, cam, RenderConfig(refmax=2))
 
 
+def test_fused_shortlist_parity():
+    """Bounce-0 frustum shortlists must be exact culling: >=16 spheres
+    spread across the view (some behind the camera, one enclosing it)
+    trace identically to the full scan."""
+    import raytracer_js_tpu.kernels.trace_fused as tf
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.2, 0.3, 0.4)))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    rng = np.random.default_rng(7)
+    for i in range(18):
+        c = rng.uniform([-6.0, -6.0, -6.0], [8.0, 6.0, 6.0])
+        tex = b.add_solid_texture(rng.uniform(0.2, 1.0, 3))
+        b.add_sphere(c, float(rng.uniform(0.3, 1.2)),
+                     (diffuse, mirror)[i % 2], tex)
+    b.add_sphere((0.0, 0.0, 0.0), 20.0, diffuse, white)  # encloses camera
+    b.add_sphere((5.0, 0.0, 2.0), 0.8, light, white)
+    scene = b.build()
+    assert scene.n_spheres >= tf.SHORTLIST_MIN_SPHERES
+    cam = make_camera((0.0, 0.0, 0.5), 16, 16, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=3))
+    # and the culling actually rejects something for narrow blocks
+    org, dirs = pixel_rays(cam)
+    quant = tf.FUSE_SUB * tf.SP_LANE
+    n_pad = -(-org.shape[0] // quant) * quant
+    org_p = jnp.concatenate(
+        [org, jnp.broadcast_to(org[-1], (n_pad - org.shape[0], 3))])
+    dir_p = jnp.concatenate(
+        [dirs, jnp.broadcast_to(dirs[-1], (n_pad - dirs.shape[0], 3))])
+    ids, counts = tf._sphere_shortlists(
+        org_p, dir_p, scene.sphere_center, scene.sphere_radius,
+        n_pad // quant, scene.n_spheres)
+    assert int(counts.min()) >= 1
+    assert int(counts.max()) <= scene.n_spheres
+
+
 def test_render_fused_backend_end_to_end():
     from raytracer_js_tpu import render_hdr
     from raytracer_js_tpu.config import HitBackend
