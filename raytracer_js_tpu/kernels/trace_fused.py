@@ -36,9 +36,10 @@ import os
 from .nearest_hit import SP_LANE, _ray_cols, _row, pack_replicated
 
 #: ray-tile sublanes for the fused kernel (rays per program = FUSE_SUB*128).
-#: Tunable for experiments via RT_FUSE_SUB; smaller tiles reduce VMEM spill
-#: pressure of the per-bounce live set, larger tiles amortize prim row loads.
-FUSE_SUB = int(os.environ.get("RT_FUSE_SUB", "256"))
+#: Tunable via RT_FUSE_SUB; smaller tiles reduce VMEM pressure of the
+#: per-bounce live set and pipeline better — measured on a v5e at 1080p,
+#: 50 spheres, 2 bounces: 256 -> 5.52 ms, 64 -> 3.85 ms, 32 -> 3.69 ms.
+FUSE_SUB = int(os.environ.get("RT_FUSE_SUB", "32"))
 
 Array = jnp.ndarray
 
@@ -89,11 +90,9 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     blk = pl.program_id(0)
     n_short = scnt_ref[blk, 0] if use_short else None
 
-    for _bounce in range(refmax):
-        # bounce 0 of a shared-origin wavefront only needs the spheres whose
-        # bounding cone test passed on the host side (per-block frustum
-        # culling); later bounces have divergent origins -> full scan.
-        short = use_short and _bounce == 0
+    def _one_bounce(state, short):
+        """One traverse->intersect->shade->respawn pass over the tile."""
+        ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status = state
         alive = status == _ALIVE
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
@@ -365,6 +364,25 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         dx = jnp.where(cont, rdx, dx)
         dy = jnp.where(cont, rdy, dy)
         dz = jnp.where(cont, rdz, dz)
+        return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+
+    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+    for _bounce in range(refmax):
+        if _bounce == 0:
+            # bounce 0 of a shared-origin wavefront only needs the spheres
+            # whose bounding cone test passed host-side (frustum culling);
+            # later bounces have divergent origins -> full scan.
+            state = _one_bounce(state, use_short)
+        else:
+            # whole-tile early-out: spheres are localized in the image, so
+            # after bounce 0 many ray tiles have zero continuing rays — skip
+            # the entire candidate scan for those (the reference's per-ray
+            # termination check, raytracer.ts:168, at tile granularity).
+            any_alive = jnp.any(state[10] == _ALIVE)
+            state = jax.lax.cond(any_alive,
+                                 lambda s: _one_bounce(s, False),
+                                 lambda s: s, state)
+    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status) = state
 
     # refmax exhaustion -> black (raytracer.ts:256-263)
     exhausted = status == _ALIVE
@@ -420,9 +438,12 @@ def _trace_call(cols, sph, box, tri, sky, sid, scnt, meta, refmax, atten,
     )(*cols, sph, box, tri, sky, sid, scnt)
 
 
-#: below this sphere count the full unrolled scan beats the shortlist's
-#: dynamic-trip-count loop
-SHORTLIST_MIN_SPHERES = int(os.environ.get("RT_SHORTLIST_MIN", "16"))
+#: sphere count at which bounce-0 frustum shortlists engage. Measured on a
+#: v5e: at <=50 spheres the per-frame XLA cone build + dynamic-index reads
+#: cost more than the culled candidates save (4.50 vs 3.85 ms sustained), so
+#: the default keeps the fully-unrolled scan; set RT_SHORTLIST_MIN to opt in
+#: for sphere-heavy scenes.
+SHORTLIST_MIN_SPHERES = int(os.environ.get("RT_SHORTLIST_MIN", "4096"))
 
 
 def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
@@ -558,8 +579,10 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         s_cap = int(os.environ.get("RT_SHORT_CAP", "0")) or min(
             s_pad, max(8, -(-scene.n_spheres // 4) + 4))
     else:
-        sid = jnp.zeros((nblk, s_pad), jnp.int32)
-        scnt = jnp.zeros((nblk, 1), jnp.int32)
+        # dummies (never read in-kernel); keep them tiny — a [nblk, s_pad]
+        # zero table would eat SMEM for nothing at small FUSE_SUB
+        sid = jnp.zeros((1, 8), jnp.int32)
+        scnt = jnp.zeros((1, 1), jnp.int32)
     cr, cg, cb, st = _trace_call(
         cols, sph, box, tri, sky, sid, scnt, meta, int(cfg.refmax),
         float(cfg.distance_attenuation_factor), use_short, s_cap,

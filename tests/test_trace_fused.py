@@ -71,12 +71,14 @@ def test_fused_empty_scene_pure_sky():
     _compare(scene, cam, RenderConfig(refmax=2))
 
 
-def test_fused_shortlist_parity():
-    """Bounce-0 frustum shortlists must be exact culling: >=16 spheres
-    spread across the view (some behind the camera, one enclosing it)
-    trace identically to the full scan."""
+def test_fused_shortlist_parity(monkeypatch):
+    """Bounce-0 frustum shortlists must be exact culling: spheres spread
+    across the view (some behind the camera, one enclosing it) trace
+    identically to the full scan. The shortlist is opt-in (off by default
+    below RT_SHORTLIST_MIN spheres), so force it on here."""
     import raytracer_js_tpu.kernels.trace_fused as tf
 
+    monkeypatch.setattr(tf, "SHORTLIST_MIN_SPHERES", 16)
     b = SceneBuilder()
     b.set_sky(b.add_solid_texture((0.2, 0.3, 0.4)))
     white = b.add_solid_texture((1.0, 1.0, 1.0))
