@@ -66,10 +66,10 @@ def supports(scene: Scene) -> bool:
 
 
 def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref, scnt_ref,
+                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
                   cr_ref, cg_ref, cb_ref, st_ref,
                   *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                  refmax, atten, use_short, s_cap):
+                  refmax, atten, use_short):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     shape = ox.shape
@@ -88,7 +88,6 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         return 1.0 / d_safe
 
     blk = pl.program_id(0)
-    n_short = scnt_ref[blk, 0] if use_short else None
 
     def _one_bounce(state, short):
         """One traverse->intersect->shade->respawn pass over the tile."""
@@ -132,16 +131,15 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             return upd(best, t, p)
 
         if short:
-            # statically-capped unrolled pass over the block shortlist
-            # (under-full lists are padded with duplicate ids — harmless
-            # for a running min), plus a dynamic tail for the rare block
-            # whose list overflows the cap (usually zero-trip).
-            best = jax.lax.fori_loop(
-                0, s_cap, lambda j, b: sph_body(sid_ref[blk, j], b), best,
-                unroll=_unroll(s_cap))
-            best = jax.lax.fori_loop(
-                s_cap, jnp.maximum(n_short, s_cap),
-                lambda j, b: sph_body(sid_ref[blk, j], b), best)
+            # bitmask culling: a Python-unrolled loop with STATIC row
+            # indices, where each candidate's ~30 vector ops hide behind a
+            # scalar branch on its per-block cone-test bit (SMEM). Culled
+            # spheres cost one branch instead of a full quadratic test.
+            for p in range(n_sph):
+                bit = (sid_ref[blk, p // 32] >> (p % 32)) & 1
+                best = jax.lax.cond(
+                    bit > 0, lambda b, p=p: sph_body(p, b),
+                    lambda b: b, best)
         else:
             best = jax.lax.fori_loop(0, n_sph, sph_body, best,
                                      unroll=_unroll(n_sph))
@@ -233,14 +231,15 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         sph_pick_acc = (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir)
         if short:
-            sph_pick_acc = jax.lax.fori_loop(
-                0, s_cap, lambda j, acc: sph_pick(sid_ref[blk, j], acc),
-                sph_pick_acc, unroll=_unroll(s_cap))
+            # the phase-1 winner is always mask-included, so the pick scan
+            # may skip culled spheres the same way
+            for p in range(n_sph):
+                bit = (sid_ref[blk, p // 32] >> (p % 32)) & 1
+                sph_pick_acc = jax.lax.cond(
+                    bit > 0, lambda acc, p=p: sph_pick(p, acc),
+                    lambda acc: acc, sph_pick_acc)
             (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
-             ) = jax.lax.fori_loop(
-                s_cap, jnp.maximum(n_short, s_cap),
-                lambda j, acc: sph_pick(sid_ref[blk, j], acc),
-                sph_pick_acc)
+             ) = sph_pick_acc
         else:
             (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
              ) = jax.lax.fori_loop(0, n_sph, sph_pick, sph_pick_acc,
@@ -406,16 +405,16 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "refmax", "atten", "use_short",
-                                    "s_cap", "interpret"))
-def _trace_call(cols, sph, box, tri, sky, sid, scnt, meta, refmax, atten,
-                use_short, s_cap=0, interpret=False):
+                                    "interpret"))
+def _trace_call(cols, sph, box, tri, sky, sid, meta, refmax, atten,
+                use_short, interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     rows = cols[0].shape[0]
     grid = (rows // FUSE_SUB,)
     kern = functools.partial(_trace_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
                              r_pad=r_pad, refmax=refmax, atten=atten,
-                             use_short=use_short, s_cap=s_cap)
+                             use_short=use_short)
     ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
@@ -424,18 +423,16 @@ def _trace_call(cols, sph, box, tri, sky, sid, scnt, meta, refmax, atten,
     # pl.program_id instead of a blocked index_map
     sid_spec = pl.BlockSpec(sid.shape, lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
-    scnt_spec = pl.BlockSpec(scnt.shape, lambda i: (0, 0),
-                             memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[ray_spec] * 6 + [full(sph), full(box), full(tri),
-                                   full(sky), sid_spec, scnt_spec],
+                                   full(sky), sid_spec],
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
         interpret=interpret,
-    )(*cols, sph, box, tri, sky, sid, scnt)
+    )(*cols, sph, box, tri, sky, sid)
 
 
 #: sphere count at which bounce-0 frustum shortlists engage. Measured on a
@@ -448,8 +445,8 @@ SHORTLIST_MIN_SPHERES = int(os.environ.get("RT_SHORTLIST_MIN", "4096"))
 
 def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
                        nblk: int, s_pad: int) -> Tuple[Array, Array]:
-    """Conservative per-ray-block sphere shortlists -> (ids [nblk, s_pad],
-    counts [nblk, 1], both int32).
+    """Conservative per-ray-block sphere include masks, bit-packed ->
+    (words [nblk, ceil(s_pad/32)] int32, counts [nblk, 1] int32).
 
     Each grid program traces a block of consecutive rays; bound the block by
     a direction cone (axis = mean dir, half-angle theta from the worst ray)
@@ -489,10 +486,14 @@ def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
     # wide direction spread: cone test unreliable -> keep all
     include = include | (cos_t[:, None] < 0.25)
     counts = jnp.sum(include, axis=1).astype(jnp.int32)[:, None]
-    order = jnp.argsort(~include, axis=1, stable=True).astype(jnp.int32)
-    ids = jnp.zeros((nblk, s_pad), jnp.int32)
-    ids = ids.at[:, : order.shape[1]].set(order)
-    return ids, counts
+    # bit-pack: word w of block b holds spheres 32w..32w+31
+    n_words = -(-s_pad // 32)
+    inc = jnp.zeros((nblk, n_words * 32), bool)
+    inc = inc.at[:, : include.shape[1]].set(include)
+    bits = inc.reshape(nblk, n_words, 32).astype(jnp.int32)
+    words = jnp.sum(bits << jnp.arange(32, dtype=jnp.int32), axis=-1,
+                    dtype=jnp.int32)
+    return words, counts
 
 
 def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
@@ -570,22 +571,16 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     nblk = n_pad // quant
     use_short = (scene.n_spheres >= SHORTLIST_MIN_SPHERES
                  and not os.environ.get("RT_NO_SHORTLIST"))
-    s_cap = 0
     if use_short:
-        sid, scnt = _sphere_shortlists(
+        sid, _counts = _sphere_shortlists(
             org, dir, scene.sphere_center, scene.sphere_radius, nblk, s_pad)
-        # static cap for the unrolled shortlist pass; the dynamic tail covers
-        # the rare block with a longer list
-        s_cap = int(os.environ.get("RT_SHORT_CAP", "0")) or min(
-            s_pad, max(8, -(-scene.n_spheres // 4) + 4))
     else:
-        # dummies (never read in-kernel); keep them tiny — a [nblk, s_pad]
-        # zero table would eat SMEM for nothing at small FUSE_SUB
+        # dummy (never read in-kernel); keep it tiny — a [nblk, ...] zero
+        # table would eat SMEM for nothing at small FUSE_SUB
         sid = jnp.zeros((1, 8), jnp.int32)
-        scnt = jnp.zeros((1, 1), jnp.int32)
     cr, cg, cb, st = _trace_call(
-        cols, sph, box, tri, sky, sid, scnt, meta, int(cfg.refmax),
-        float(cfg.distance_attenuation_factor), use_short, s_cap,
+        cols, sph, box, tri, sky, sid, meta, int(cfg.refmax),
+        float(cfg.distance_attenuation_factor), use_short,
         interpret=interpret)
     color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                        cb.reshape(-1)[:n]], axis=-1)
