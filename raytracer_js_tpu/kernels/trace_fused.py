@@ -8,10 +8,25 @@ lane-replicated row broadcasts (see kernels/nearest_hit scalar variant),
 and the winning primitive's normal and shading attributes ride the
 running-min carry, so there is no per-ray gather anywhere.
 
+Two entry points share one kernel core (``_trace_core``):
+
+- :func:`trace_rays_fused` — arbitrary ray wavefront in, colors out. This is
+  the exact-parity path: bit-identical to ops/trace.trace_rays for the
+  restricted class (golden tests assert lane-for-lane equality).
+- :func:`trace_frame_fused` — the headline full-frame path. Ray generation
+  happens *inside* the kernel (pixel (x, y) decoded from the ray index, the
+  equiangular camera direction computed from SMEM pose scalars), so the XLA
+  raygen + column-packing stage and its ~50 MB of HBM ray traffic vanish.
+  Because camera directions are unit by construction and mirror reflections
+  preserve the norm, this path also drops the |d|^2 terms from every sphere
+  candidate (``unit_d``), and bounce 0's shared origin lets the sphere
+  quadratic constant c0 = o.o - 2 o.c + (c.c - r^2) be folded host-side
+  (``has_c0``). Numerics differ from the wavefront path only in ULPs
+  (tested at 1e-5 tolerance, not bitwise).
+
 This is the headline-benchmark path (BASELINE configs 1-2 class scenes are
 exactly this restricted class). Unrestricted scenes fall back to the XLA
-wavefront loop (ops/trace), which remains the semantic reference; parity
-tests assert this kernel matches it lane-for-lane.
+wavefront loop (ops/trace), which remains the semantic reference.
 
 Semantics (all mirrored from ops/trace._bounce, raytracer.ts:166-277):
 hit -> color *= prim rgb, path += t; emissive -> LIGHT + ISL at the end;
@@ -65,14 +80,17 @@ def supports(scene: Scene) -> bool:
             and not scene.textures.has_images)
 
 
-def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
-                  cr_ref, cg_ref, cb_ref, st_ref,
-                  *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                  refmax, atten, use_short):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    shape = ox.shape
+def _trace_core(ox, oy, oz, dx, dy, dz,
+                sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
+                cr_ref, cg_ref, cb_ref, st_ref,
+                *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
+                refmax, atten, use_short, unit_d, has_c0):
+    """Shared bounce-loop body. ``ox/oy/oz`` may be rank-0 (shared camera
+    origin, frame path) or [SUB, LANE] tiles (wavefront path); ``unit_d``
+    statically drops the |d|^2 quadratic terms (valid when every incoming
+    direction is unit — reflections preserve the norm); ``has_c0`` reads the
+    host-folded bounce-0 sphere constant from table row 10."""
+    shape = dx.shape
     col_r = jnp.ones(shape, jnp.float32)
     col_g = jnp.ones(shape, jnp.float32)
     col_b = jnp.ones(shape, jnp.float32)
@@ -89,12 +107,13 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
     blk = pl.program_id(0)
 
-    def _one_bounce(state, short):
+    def _one_bounce(state, short, first):
         """One traverse->intersect->shade->respawn pass over the tile."""
         ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status = state
         alive = status == _ALIVE
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
+        if not unit_d:
+            a = dx * dx + dy * dy + dz * dz
+            inv_a = 1.0 / a
         o_dot_d = ox * dx + oy * dy + oz * dz
         o_dot_o = ox * ox + oy * oy + oz * oz
         ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
@@ -113,22 +132,38 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             u = t < t_best
             return jnp.where(u, t, t_best), jnp.where(u, p_glob, pid)
 
-        # sphere rows: cx cy cz ccmr inv_r | r g b light cont  (10 blocks)
+        def upd_if(best, t, valid, p_glob):
+            """Running-min update with the forward/validity filter folded
+            into the update predicate — selecting the same floats as
+            masking t to INF first, ~5 fewer VPU ops per candidate."""
+            t_best, pid = best
+            u = (t < t_best) & valid
+            return jnp.where(u, t, t_best), jnp.where(u, p_glob, pid)
+
+        # sphere rows: cx cy cz ccmr inv_r | r g b mode [| c0]
         def sph_body(p, best):
             cx = _row(sph_ref, 0, p)
             cy = _row(sph_ref, s_pad, p)
             cz = _row(sph_ref, 2 * s_pad, p)
-            ccmr = _row(sph_ref, 3 * s_pad, p)
             b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
-            c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
-            disc = b_half * b_half - a * c
+            if first and has_c0:
+                # bounce 0 shares one origin: the whole quadratic constant
+                # was folded host-side into table row 9
+                c = _row(sph_ref, 9 * s_pad, p)
+            else:
+                ccmr = _row(sph_ref, 3 * s_pad, p)
+                c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
+            disc = b_half * b_half - (c if unit_d else a * c)
             sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_near = (-b_half - sq) * inv_a
-            t_far = (-b_half + sq) * inv_a
-            t = jnp.where(t_near >= 0.0, t_near,
-                          jnp.where(t_far >= 0.0, t_far, _INF))
-            t = jnp.where(disc >= 0.0, t, _INF)
-            return upd(best, t, p)
+            if unit_d:
+                t_near = -b_half - sq
+                t_far = sq - b_half
+            else:
+                t_near = (-b_half - sq) * inv_a
+                t_far = (-b_half + sq) * inv_a
+            # first-forward param: t_near if >=0 else t_far if >=0 else miss
+            t = jnp.where(t_near >= 0.0, t_near, t_far)
+            return upd_if(best, t, (disc >= 0.0) & (t >= 0.0), p)
 
         if short:
             # bitmask culling: a Python-unrolled loop with STATIC row
@@ -144,7 +179,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             best = jax.lax.fori_loop(0, n_sph, sph_body, best,
                                      unroll=_unroll(n_sph))
 
-        # box rows: cx cy cz hx hy hz | r g b light cont  (11 blocks)
+        # box rows: cx cy cz hx hy hz | r g b mode  (10 blocks)
         def box_body(p, best):
             cx = _row(box_ref, 0, p)
             cy = _row(box_ref, b_pad, p)
@@ -164,14 +199,13 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t_exit = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
                                              jnp.maximum(tay, tby)),
                                  jnp.maximum(taz, tbz))
-            t = jnp.where(t_enter >= 0.0, t_enter,
-                          jnp.where(t_exit >= 0.0, t_exit, _INF))
-            t = jnp.where(t_enter <= t_exit, t, _INF)
-            return upd(best, t, p + n_sph)
+            t = jnp.where(t_enter >= 0.0, t_enter, t_exit)
+            return upd_if(best, t, (t_enter <= t_exit) & (t >= 0.0),
+                          p + n_sph)
 
         best = jax.lax.fori_loop(0, n_box, box_body, best, unroll=_unroll(n_box))
 
-        # tri rows: v0(3) v1(3) v2(3) gn(3) | r g b light cont  (17 blocks)
+        # tri rows: v0(3) v1(3) v2(3) gn(3) | r g b mode  (16 blocks)
         def tri_body(p, best):
             v0x = _row(tri_ref, 0, p)
             v0y = _row(tri_ref, r_pad, p)
@@ -196,7 +230,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
                   & (u + v <= 1.0) & (t >= 0.0))
-            return upd(best, jnp.where(ok, t, _INF), p + n_sph + n_box)
+            return upd_if(best, t, ok, p + n_sph + n_box)
 
         best = jax.lax.fori_loop(0, n_tri, tri_body, best, unroll=_unroll(n_tri))
 
@@ -207,7 +241,10 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         # normal recompute per class per bounce (instead of per candidate).
         one = jnp.ones(shape, jnp.float32)
         wr, wg, wb = one, one, one
-        w_light, w_cont = zero, zero
+        # response mode: 2 = emissive, 1 = mirror continuation, 0 = keep
+        # (one row instead of separate light/cont rows: one fewer pick
+        # select per candidate per bounce)
+        w_mode = zero
         # sphere winner params
         s_cx, s_cy, s_cz, s_ir = zero, zero, zero, zero
         # box winner params
@@ -217,19 +254,18 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         t_nx, t_ny, t_nz = zero, zero, zero
 
         def sph_pick(p, acc):
-            wr, wg, wb, wl, wc, cx, cy, cz, ir = acc
+            wr, wg, wb, wm, cx, cy, cz, ir = acc
             m = pid == p
             return (jnp.where(m, _row(sph_ref, 5 * s_pad, p), wr),
                     jnp.where(m, _row(sph_ref, 6 * s_pad, p), wg),
                     jnp.where(m, _row(sph_ref, 7 * s_pad, p), wb),
-                    jnp.where(m, _row(sph_ref, 8 * s_pad, p), wl),
-                    jnp.where(m, _row(sph_ref, 9 * s_pad, p), wc),
+                    jnp.where(m, _row(sph_ref, 8 * s_pad, p), wm),
                     jnp.where(m, _row(sph_ref, 0, p), cx),
                     jnp.where(m, _row(sph_ref, s_pad, p), cy),
                     jnp.where(m, _row(sph_ref, 2 * s_pad, p), cz),
                     jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
 
-        sph_pick_acc = (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir)
+        sph_pick_acc = (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir)
         if short:
             # the phase-1 winner is always mask-included, so the pick scan
             # may skip culled spheres the same way
@@ -238,21 +274,19 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 sph_pick_acc = jax.lax.cond(
                     bit > 0, lambda acc, p=p: sph_pick(p, acc),
                     lambda acc: acc, sph_pick_acc)
-            (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
-             ) = sph_pick_acc
+            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc
         else:
-            (wr, wg, wb, w_light, w_cont, s_cx, s_cy, s_cz, s_ir
+            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir
              ) = jax.lax.fori_loop(0, n_sph, sph_pick, sph_pick_acc,
                                    unroll=_unroll(n_sph))
 
         def box_pick(p, acc):
-            wr, wg, wb, wl, wc, cx, cy, cz, hx, hy, hz = acc
+            wr, wg, wb, wm, cx, cy, cz, hx, hy, hz = acc
             m = pid == p + n_sph
             return (jnp.where(m, _row(box_ref, 6 * b_pad, p), wr),
                     jnp.where(m, _row(box_ref, 7 * b_pad, p), wg),
                     jnp.where(m, _row(box_ref, 8 * b_pad, p), wb),
-                    jnp.where(m, _row(box_ref, 9 * b_pad, p), wl),
-                    jnp.where(m, _row(box_ref, 10 * b_pad, p), wc),
+                    jnp.where(m, _row(box_ref, 9 * b_pad, p), wm),
                     jnp.where(m, _row(box_ref, 0, p), cx),
                     jnp.where(m, _row(box_ref, b_pad, p), cy),
                     jnp.where(m, _row(box_ref, 2 * b_pad, p), cz),
@@ -260,27 +294,26 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     jnp.where(m, _row(box_ref, 4 * b_pad, p), hy),
                     jnp.where(m, _row(box_ref, 5 * b_pad, p), hz))
 
-        (wr, wg, wb, w_light, w_cont, b_cx, b_cy, b_cz, b_hx, b_hy, b_hz
+        (wr, wg, wb, w_mode, b_cx, b_cy, b_cz, b_hx, b_hy, b_hz
          ) = jax.lax.fori_loop(0, n_box, box_pick,
-                               (wr, wg, wb, w_light, w_cont,
+                               (wr, wg, wb, w_mode,
                                 b_cx, b_cy, b_cz, b_hx, b_hy, b_hz),
                                unroll=_unroll(n_box))
 
         def tri_pick(p, acc):
-            wr, wg, wb, wl, wc, gx, gy, gz = acc
+            wr, wg, wb, wm, gx, gy, gz = acc
             m = pid == p + n_sph + n_box
             return (jnp.where(m, _row(tri_ref, 12 * r_pad, p), wr),
                     jnp.where(m, _row(tri_ref, 13 * r_pad, p), wg),
                     jnp.where(m, _row(tri_ref, 14 * r_pad, p), wb),
-                    jnp.where(m, _row(tri_ref, 15 * r_pad, p), wl),
-                    jnp.where(m, _row(tri_ref, 16 * r_pad, p), wc),
+                    jnp.where(m, _row(tri_ref, 15 * r_pad, p), wm),
                     jnp.where(m, _row(tri_ref, 9 * r_pad, p), gx),
                     jnp.where(m, _row(tri_ref, 10 * r_pad, p), gy),
                     jnp.where(m, _row(tri_ref, 11 * r_pad, p), gz))
 
-        (wr, wg, wb, w_light, w_cont, t_nx, t_ny, t_nz
+        (wr, wg, wb, w_mode, t_nx, t_ny, t_nz
          ) = jax.lax.fori_loop(0, n_tri, tri_pick,
-                               (wr, wg, wb, w_light, w_cont,
+                               (wr, wg, wb, w_mode,
                                 t_nx, t_ny, t_nz),
                                unroll=_unroll(n_tri))
 
@@ -335,8 +368,8 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                          -1.0, 1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
         hit = alive & (pid >= 0)
-        lit = hit & (w_light > 0.5)
-        cont = hit & (w_cont > 0.5) & ~lit
+        lit = hit & (w_mode > 1.5)
+        cont = hit & (w_mode > 0.5) & ~lit
         keep = hit & ~lit & ~cont
         miss = alive & (pid < 0)
 
@@ -371,7 +404,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             # bounce 0 of a shared-origin wavefront only needs the spheres
             # whose bounding cone test passed host-side (frustum culling);
             # later bounces have divergent origins -> full scan.
-            state = _one_bounce(state, use_short)
+            state = _one_bounce(state, use_short, True)
         else:
             # whole-tile early-out: spheres are localized in the image, so
             # after bounce 0 many ray tiles have zero continuing rays — skip
@@ -379,7 +412,7 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             # termination check, raytracer.ts:168, at tile granularity).
             any_alive = jnp.any(state[10] == _ALIVE)
             state = jax.lax.cond(any_alive,
-                                 lambda s: _one_bounce(s, False),
+                                 lambda s: _one_bounce(s, False, False),
                                  lambda s: s, state)
     (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status) = state
 
@@ -401,6 +434,64 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     cg_ref[:, :] = col_g
     cb_ref[:, :] = col_b
     st_ref[:, :] = status
+
+
+def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
+                  cr_ref, cg_ref, cb_ref, st_ref,
+                  *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
+                  refmax, atten, use_short):
+    """Wavefront entry: per-ray origins/directions from HBM columns."""
+    _trace_core(ox_ref[:], oy_ref[:], oz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:],
+                sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
+                cr_ref, cg_ref, cb_ref, st_ref,
+                n_sph=n_sph, n_box=n_box, n_tri=n_tri,
+                s_pad=s_pad, b_pad=b_pad, r_pad=r_pad,
+                refmax=refmax, atten=atten, use_short=use_short,
+                unit_d=False, has_c0=False)
+
+
+# SMEM camera layout for the frame kernel (all f32):
+# 0-2 pos, 3-5 front, 6-8 left, 9-11 up,
+# 12 step_h (fov_h/w), 13 step_v (fov_v/h), 14 off_h (w//2), 15 off_v (h//2),
+# 16 1/w, 17 float(w)
+_CAM_SLOTS = 18
+
+
+def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref,
+                        cr_ref, cg_ref, cb_ref, st_ref,
+                        *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
+                        refmax, atten):
+    """Frame entry: rays generated in-register from the camera pose.
+
+    Pixel (x, y) is decoded from the global ray index i = y*w + x via
+    y = floor((i + 0.5) / w) — exact for i < 2^24 because the true value is
+    at least 0.5/w above the integer boundary while the f32 rounding error
+    is bounded by eps*h << 0.5/w. The direction is the closed-form
+    equiangular map of models/camera.pixel_rays, term-for-term.
+    """
+    blk = pl.program_id(0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 1)
+    fi = ((blk * FUSE_SUB + sub) * SP_LANE + lane).astype(jnp.float32)
+    y = jnp.floor((fi + 0.5) * cam_ref[0, 16])
+    x = fi - y * cam_ref[0, 17]
+    th_h = (x - cam_ref[0, 14]) * cam_ref[0, 12]
+    th_v = (y - cam_ref[0, 15]) * cam_ref[0, 13]
+    ch, sh = jnp.cos(th_h), jnp.sin(th_h)
+    cv, sv = jnp.cos(th_v), jnp.sin(th_v)
+    a1, a2 = ch * cv, ch * sv
+    dx = a1 * cam_ref[0, 3] + a2 * cam_ref[0, 9] + sh * cam_ref[0, 6]
+    dy = a1 * cam_ref[0, 4] + a2 * cam_ref[0, 10] + sh * cam_ref[0, 7]
+    dz = a1 * cam_ref[0, 5] + a2 * cam_ref[0, 11] + sh * cam_ref[0, 8]
+    _trace_core(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2], dx, dy, dz,
+                sph_ref, box_ref, tri_ref, sky_ref, None,
+                cr_ref, cg_ref, cb_ref, st_ref,
+                n_sph=n_sph, n_box=n_box, n_tri=n_tri,
+                s_pad=s_pad, b_pad=b_pad, r_pad=r_pad,
+                refmax=refmax, atten=atten, use_short=False,
+                unit_d=True, has_c0=True)
 
 
 @functools.partial(jax.jit,
@@ -433,6 +524,33 @@ def _trace_call(cols, sph, box, tri, sky, sid, meta, refmax, atten,
         + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
         interpret=interpret,
     )(*cols, sph, box, tri, sky, sid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("meta", "refmax", "atten", "rows",
+                                    "interpret"))
+def _trace_frame_call(cam, sph, box, tri, sky, meta, refmax, atten, rows,
+                      interpret=False):
+    n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
+    grid = (rows // FUSE_SUB,)
+    kern = functools.partial(_trace_frame_kernel, n_sph=n_sph, n_box=n_box,
+                             n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
+                             r_pad=r_pad, refmax=refmax, atten=atten)
+    ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec(cam.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[cam_spec, full(sph), full(box), full(tri), full(sky)],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
+        interpret=interpret,
+    )(cam, sph, box, tri, sky)
 
 
 #: sphere count at which bounce-0 frustum shortlists engage. Measured on a
@@ -496,6 +614,74 @@ def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
     return words, counts
 
 
+def _pack_prims(scene: Scene, cam_pos: Array | None = None):
+    """Lane-replicated primitive tables -> (sph, box, tri, sky, meta).
+
+    When ``cam_pos`` is given the sphere table gets a 10th row block (index
+    9) with the bounce-0 quadratic constant c0 = o.o - 2 o.c + (c.c - r^2)
+    folded in (the frame kernel's ``has_c0`` path).
+    """
+    def pad8(x):
+        return -(-max(x, 1) // 8) * 8
+
+    s_pad, b_pad, r_pad = (pad8(scene.n_spheres), pad8(scene.n_boxes),
+                           pad8(scene.n_tris))
+
+    # per-prim shading attributes in global prim order; response mode packs
+    # the emissive/continuation flags into one row (2 = light, 1 = mirror
+    # REFLECTION continuation, 0 = keep — mutually exclusive by definition)
+    prim_rgb = scene.textures.solid_rgb[scene.prim_texture]      # [P, 3]
+    mat = scene.materials
+    m_light = mat.light[scene.prim_material].astype(jnp.float32)
+    m_cont = (mat.mirror[scene.prim_material]
+              & (mat.response[scene.prim_material]
+                 == int(ResponseType.REFLECTION))
+              & (mat.light[scene.prim_material] == False)  # noqa: E712
+              ).astype(jnp.float32)
+    m_mode = 2.0 * m_light + m_cont
+
+    def attr_slice(lo, hi):
+        return (prim_rgb[lo:hi, 0], prim_rgb[lo:hi, 1], prim_rgb[lo:hi, 2],
+                m_mode[lo:hi])
+
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+
+    c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
+    ccmr = c_dot_c - scene.sphere_radius ** 2
+    inv_r = 1.0 / jnp.maximum(scene.sphere_radius, 1e-20)
+    sph_cols = [scene.sphere_center[:, 0], scene.sphere_center[:, 1],
+                scene.sphere_center[:, 2], ccmr, inv_r, *attr_slice(0, s_end)]
+    if cam_pos is not None:
+        o = cam_pos
+        o_dot_o = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+        c0 = o_dot_o - 2.0 * (scene.sphere_center[:, 0] * o[0]
+                              + scene.sphere_center[:, 1] * o[1]
+                              + scene.sphere_center[:, 2] * o[2]) + ccmr
+        sph_cols.append(c0)
+    sph = pack_replicated(sph_cols, s_pad)
+    box = pack_replicated(
+        [scene.box_center[:, 0], scene.box_center[:, 1],
+         scene.box_center[:, 2], scene.box_half[:, 0],
+         scene.box_half[:, 1], scene.box_half[:, 2],
+         *attr_slice(s_end, b_end)], b_pad)
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    gn = jnp.cross(e1, e2)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+    tri = pack_replicated(
+        [scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+         scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
+         scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
+         gn[:, 0], gn[:, 1], gn[:, 2], *attr_slice(b_end, scene.n_prims)],
+        r_pad)
+    sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
+    sky = pack_replicated([sky_rgb[0:1], sky_rgb[1:2], sky_rgb[2:3]], 1)
+    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
+            s_pad, b_pad, r_pad)
+    return sph, box, tri, sky, meta
+
+
 def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                      interpret: bool | None = None
                      ) -> Tuple[Array, Array]:
@@ -519,55 +705,9 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
             [dir, jnp.broadcast_to(dir[-1], rep + (3,))], axis=0)
     cols = _ray_cols(org, dir, n_pad)
 
-    def pad8(x):
-        return -(-max(x, 1) // 8) * 8
+    sph, box, tri, sky, meta = _pack_prims(scene)
+    s_pad = meta[3]
 
-    s_pad, b_pad, r_pad = (pad8(scene.n_spheres), pad8(scene.n_boxes),
-                           pad8(scene.n_tris))
-
-    # per-prim shading attributes in global prim order
-    prim_rgb = scene.textures.solid_rgb[scene.prim_texture]      # [P, 3]
-    mat = scene.materials
-    m_light = mat.light[scene.prim_material].astype(jnp.float32)
-    m_cont = (mat.mirror[scene.prim_material]
-              & (mat.response[scene.prim_material]
-                 == int(ResponseType.REFLECTION))
-              & (mat.light[scene.prim_material] == False)  # noqa: E712
-              ).astype(jnp.float32)
-
-    def attr_slice(lo, hi):
-        return (prim_rgb[lo:hi, 0], prim_rgb[lo:hi, 1], prim_rgb[lo:hi, 2],
-                m_light[lo:hi], m_cont[lo:hi])
-
-    s_end = scene.n_spheres
-    b_end = s_end + scene.n_boxes
-
-    c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
-    inv_r = 1.0 / jnp.maximum(scene.sphere_radius, 1e-20)
-    sph = pack_replicated(
-        [scene.sphere_center[:, 0], scene.sphere_center[:, 1],
-         scene.sphere_center[:, 2], c_dot_c - scene.sphere_radius ** 2,
-         inv_r, *attr_slice(0, s_end)], s_pad)
-    box = pack_replicated(
-        [scene.box_center[:, 0], scene.box_center[:, 1],
-         scene.box_center[:, 2], scene.box_half[:, 0],
-         scene.box_half[:, 1], scene.box_half[:, 2],
-         *attr_slice(s_end, b_end)], b_pad)
-    e1 = scene.tri_v1 - scene.tri_v0
-    e2 = scene.tri_v2 - scene.tri_v0
-    gn = jnp.cross(e1, e2)
-    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-    tri = pack_replicated(
-        [scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
-         scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
-         scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
-         gn[:, 0], gn[:, 1], gn[:, 2], *attr_slice(b_end, scene.n_prims)],
-        r_pad)
-    sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
-    sky = pack_replicated([sky_rgb[0:1], sky_rgb[1:2], sky_rgb[2:3]], 1)
-
-    meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
-            s_pad, b_pad, r_pad)
     nblk = n_pad // quant
     use_short = (scene.n_spheres >= SHORTLIST_MIN_SPHERES
                  and not os.environ.get("RT_NO_SHORTLIST"))
@@ -585,3 +725,45 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                        cb.reshape(-1)[:n]], axis=-1)
     return color, st.reshape(-1)[:n]
+
+
+def supports_frame(scene: Scene) -> bool:
+    """Frame-kernel eligibility: fused class, and the host-side frustum
+    shortlist (which needs materialized rays) not engaged."""
+    return (supports(scene)
+            and not (scene.n_spheres >= SHORTLIST_MIN_SPHERES
+                     and not os.environ.get("RT_NO_SHORTLIST"))
+            and not os.environ.get("RT_NO_FRAME_KERNEL"))
+
+
+def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
+                      interpret: bool | None = None) -> Array:
+    """Whole-frame fused trace with in-kernel ray generation -> [h*w, 3].
+
+    Caller must check :func:`supports_frame`. Rays never exist in HBM: the
+    camera pose rides in as 18 SMEM scalars and each program derives its
+    pixel directions from iota (models/camera.pixel_rays closed form).
+    Matches the wavefront path to f32 ULP noise (unit-|d| specialization
+    changes the rounding of the sphere quadratic), not bitwise.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = cam.w * cam.h
+    quant = FUSE_SUB * SP_LANE
+    rows = (-(-n // quant)) * FUSE_SUB
+
+    sph, box, tri, sky, meta = _pack_prims(scene, cam_pos=cam.pos)
+    cam_arr = jnp.concatenate([
+        cam.pos.astype(jnp.float32),
+        cam.front.astype(jnp.float32),
+        cam.left.astype(jnp.float32),
+        cam.up.astype(jnp.float32),
+        jnp.array([cam.fov_h / cam.w, cam.fov_v / cam.h,
+                   float(cam.w // 2), float(cam.h // 2),
+                   1.0 / cam.w, float(cam.w)], jnp.float32),
+    ]).reshape(1, _CAM_SLOTS)
+    cr, cg, cb, _st = _trace_frame_call(
+        cam_arr, sph, box, tri, sky, meta, int(cfg.refmax),
+        float(cfg.distance_attenuation_factor), rows, interpret=interpret)
+    return jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
+                      cb.reshape(-1)[:n]], axis=-1)

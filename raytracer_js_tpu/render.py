@@ -72,8 +72,18 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
 def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
                key: Optional[Array] = None, accel=None) -> Array:
     """Full-frame HDR render -> [h, w, 3] float32 (linear, pre-tone-map)."""
+    from .config import HitBackend
+
     if key is None:
         key = jax.random.key(0)
+    if cfg.backend == HitBackend.FUSED:
+        from .kernels import trace_fused
+
+        if trace_fused.supports_frame(scene):
+            # headline path: rays are generated inside the kernel — no
+            # raygen/pack stage, no ray tensors in HBM at all
+            color = trace_fused.trace_frame_fused(scene, cfg, camera)
+            return color.reshape(camera.h, camera.w, 3)
     org, dir = pixel_rays(camera)
     ray_id = jnp.arange(org.shape[0], dtype=jnp.int32)
     colors = render_rays(scene, cfg, org, dir, key, ray_id, accel=accel)

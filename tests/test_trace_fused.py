@@ -119,12 +119,56 @@ def test_render_fused_backend_end_to_end():
     scene = config1_scene()
     cam = make_camera((0.0, 0.0, 0.5), 16, 16, np.pi / 2, np.pi / 2)
     img_b = np.asarray(render_hdr(scene, cam, config1_cfg()))
+    # FUSED render_hdr routes to the frame kernel (in-kernel raygen +
+    # unit-|d| sphere quadratic): equal to ULP noise, not bitwise
     img_f = np.asarray(render_hdr(scene, cam,
                                   config1_cfg(backend=HitBackend.FUSED)))
-    np.testing.assert_allclose(img_f, img_b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(img_f, img_b, rtol=1e-4, atol=1e-5)
     # unsupported scene silently falls back to brute
     glass = config1_scene(with_glass=True)
     img_g = np.asarray(render_hdr(glass, cam,
                                   config1_cfg(backend=HitBackend.FUSED)))
     img_gb = np.asarray(render_hdr(glass, cam, config1_cfg()))
     np.testing.assert_array_equal(img_g, img_gb)
+
+
+def test_frame_fused_nonsquare_offgrid():
+    """Frame kernel (in-kernel raygen) on a non-square image whose pixel
+    count is not a multiple of the ray-tile quantum: the in-kernel
+    (x, y) <- index decode must match pixel_rays exactly."""
+    from raytracer_js_tpu import render_hdr
+    from raytracer_js_tpu.config import HitBackend
+    from raytracer_js_tpu.kernels import trace_fused as tf
+
+    scene = config1_scene()
+    assert tf.supports_frame(scene)
+    cam = make_camera((0.2, -0.3, 0.5), 40, 24, np.pi / 2, np.pi / 3,
+                      rot_h=0.3, rot_v=-0.2)
+    img_b = np.asarray(render_hdr(scene, cam, config1_cfg()))
+    img_f = np.asarray(render_hdr(scene, cam,
+                                  config1_cfg(backend=HitBackend.FUSED)))
+    assert img_f.shape == (24, 40, 3)
+    np.testing.assert_allclose(img_f, img_b, rtol=1e-4, atol=1e-5)
+
+
+def test_frame_fused_mirror_bounces():
+    """Mirror continuation through the frame kernel: reflected directions
+    stay unit, so the unit-|d| specialization must hold at bounce >= 1."""
+    from raytracer_js_tpu import RenderConfig, render_hdr
+    from raytracer_js_tpu.config import HitBackend
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.2, 0.3, 0.4)))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((3.0, 0.0, 0.0), (0.5, 8.0, 8.0), mirror, white)
+    b.add_box((-3.0, 0.0, 0.0), (0.5, 8.0, 8.0), mirror, white)
+    b.add_sphere((0.0, 0.0, -5.5), 1.0, light, white)
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.0), 16, 16, np.pi / 2, np.pi / 2)
+    cfg = RenderConfig(refmax=4)
+    img_b = np.asarray(render_hdr(scene, cam, cfg))
+    img_f = np.asarray(render_hdr(
+        scene, cam, RenderConfig(refmax=4, backend=HitBackend.FUSED)))
+    np.testing.assert_allclose(img_f, img_b, rtol=1e-4, atol=1e-5)
