@@ -84,12 +84,15 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                 sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
                 cr_ref, cg_ref, cb_ref, st_ref,
                 *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                refmax, atten, use_short, unit_d, has_c0):
+                refmax, atten, use_short, unit_d, has_c0,
+                tab_ref=None, dyn_short=False):
     """Shared bounce-loop body. ``ox/oy/oz`` may be rank-0 (shared camera
     origin, frame path) or [SUB, LANE] tiles (wavefront path); ``unit_d``
     statically drops the |d|^2 quadratic terms (valid when every incoming
     direction is unit — reflections preserve the norm); ``has_c0`` reads the
-    host-folded bounce-0 sphere constant from table row 10."""
+    host-folded bounce-0 sphere constant from table row 9; ``dyn_short``
+    makes bounce 0's sphere loops run over the per-tile compact id list in
+    ``tab_ref`` (SMEM: [cnt, id-pairs...]) instead of all n_sph."""
     shape = dx.shape
     col_r = jnp.ones(shape, jnp.float32)
     col_g = jnp.ones(shape, jnp.float32)
@@ -165,7 +168,20 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
             t = jnp.where(t_near >= 0.0, t_near, t_far)
             return upd_if(best, t, (disc >= 0.0) & (t >= 0.0), p)
 
-        if short:
+        def tab_id(j):
+            """Shortlisted sphere id j from the SMEM pair-packed id table
+            (word 0 = count, then two 16-bit ids per word, low half first)."""
+            word = tab_ref[0, 1 + j // 2]
+            return (word >> (16 * (j % 2))) & 0xFFFF
+
+        if first and dyn_short:
+            # per-tile compact shortlist: a dynamic-trip-count loop over
+            # only the spheres whose cone test passed host-side. Exact
+            # culling (a rejected sphere cannot be hit by any tile ray), so
+            # the winner is identical to the full scan.
+            best = jax.lax.fori_loop(
+                0, tab_ref[0, 0], lambda j, b: sph_body(tab_id(j), b), best)
+        elif short:
             # bitmask culling: a Python-unrolled loop with STATIC row
             # indices, where each candidate's ~30 vector ops hide behind a
             # scalar branch on its per-block cone-test bit (SMEM). Culled
@@ -266,7 +282,14 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                     jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
 
         sph_pick_acc = (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir)
-        if short:
+        if first and dyn_short:
+            # the phase-1 winner is always shortlist-included, so the pick
+            # scan may run over the same compact id list
+            sph_pick_acc = jax.lax.fori_loop(
+                0, tab_ref[0, 0],
+                lambda j, acc: sph_pick(tab_id(j), acc), sph_pick_acc)
+            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc
+        elif short:
             # the phase-1 winner is always mask-included, so the pick scan
             # may skip culled spheres the same way
             for p in range(n_sph):
@@ -455,28 +478,34 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 # SMEM camera layout for the frame kernel (all f32):
 # 0-2 pos, 3-5 front, 6-8 left, 9-11 up,
 # 12 step_h (fov_h/w), 13 step_v (fov_v/h), 14 off_h (w//2), 15 off_v (h//2),
-# 16 1/w, 17 float(w)
+# 16-17 spare
 _CAM_SLOTS = 18
 
+#: sphere count at which the per-tile shortlist engages in the frame kernel
+#: (below it the fully-unrolled static scan is cheaper than a dynamic loop)
+FRAME_SHORT_MIN = int(os.environ.get("RT_FRAME_SHORT_MIN", "12"))
 
-def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref,
+
+def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
                         cr_ref, cg_ref, cb_ref, st_ref,
                         *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                        refmax, atten):
+                        refmax, atten, dyn_short):
     """Frame entry: rays generated in-register from the camera pose.
 
-    Pixel (x, y) is decoded from the global ray index i = y*w + x via
-    y = floor((i + 0.5) / w) — exact for i < 2^24 because the true value is
-    at least 0.5/w above the integer boundary while the f32 rounding error
-    is bounded by eps*h << 0.5/w. The direction is the closed-form
-    equiangular map of models/camera.pixel_rays, term-for-term.
+    The grid is 2-D over (row-tile, column-tile) of the image: program
+    (by, bx) renders pixels y in [by*FUSE_SUB, ...), x in [bx*128, ...).
+    2-D tiles (vs. consecutive-index strips) give each program a narrow
+    direction cone, which is what makes the per-tile sphere shortlist
+    (``dyn_short``) and the bounce>=1 dead-tile skip effective. The
+    direction is the closed-form equiangular map of
+    models/camera.pixel_rays, term-for-term.
     """
-    blk = pl.program_id(0)
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 1)
-    fi = ((blk * FUSE_SUB + sub) * SP_LANE + lane).astype(jnp.float32)
-    y = jnp.floor((fi + 0.5) * cam_ref[0, 16])
-    x = fi - y * cam_ref[0, 17]
+    x = (bx * SP_LANE + lane).astype(jnp.float32)
+    y = (by * FUSE_SUB + sub).astype(jnp.float32)
     th_h = (x - cam_ref[0, 14]) * cam_ref[0, 12]
     th_v = (y - cam_ref[0, 15]) * cam_ref[0, 13]
     ch, sh = jnp.cos(th_h), jnp.sin(th_h)
@@ -491,7 +520,8 @@ def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref,
                 n_sph=n_sph, n_box=n_box, n_tri=n_tri,
                 s_pad=s_pad, b_pad=b_pad, r_pad=r_pad,
                 refmax=refmax, atten=atten, use_short=False,
-                unit_d=True, has_c0=True)
+                unit_d=True, has_c0=True,
+                tab_ref=tab_ref, dyn_short=dyn_short)
 
 
 @functools.partial(jax.jit,
@@ -527,30 +557,35 @@ def _trace_call(cols, sph, box, tri, sky, sid, meta, refmax, atten,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("meta", "refmax", "atten", "rows",
-                                    "interpret"))
-def _trace_frame_call(cam, sph, box, tri, sky, meta, refmax, atten, rows,
-                      interpret=False):
+                   static_argnames=("meta", "refmax", "atten", "nby", "nbx",
+                                    "dyn_short", "interpret"))
+def _trace_frame_call(cam, sph, box, tri, sky, tab, meta, refmax, atten,
+                      nby, nbx, dyn_short, interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
-    grid = (rows // FUSE_SUB,)
     kern = functools.partial(_trace_frame_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
-                             r_pad=r_pad, refmax=refmax, atten=atten)
-    ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                             r_pad=r_pad, refmax=refmax, atten=atten,
+                             dyn_short=dyn_short)
+    tile_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0),
                                     memory_space=pltpu.VMEM)
-    cam_spec = pl.BlockSpec(cam.shape, lambda i: (0, 0),
+    cam_spec = pl.BlockSpec(cam.shape, lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
+    # per-tile shortlist row (row-major over (by, bx))
+    tab_spec = pl.BlockSpec((1, tab.shape[1]), lambda i, j: (i * nbx + j, 0),
+                            memory_space=pltpu.SMEM)
+    h_pad, w_pad = nby * FUSE_SUB, nbx * SP_LANE
     return pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[cam_spec, full(sph), full(box), full(tri), full(sky)],
-        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
-        out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
-        + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
+        grid=(nby, nbx),
+        in_specs=[cam_spec, full(sph), full(box), full(tri), full(sky),
+                  tab_spec],
+        out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
+        out_shape=[jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)],
         interpret=interpret,
-    )(cam, sph, box, tri, sky)
+    )(cam, sph, box, tri, sky, tab)
 
 
 #: sphere count at which bounce-0 frustum shortlists engage. Measured on a
@@ -736,21 +771,73 @@ def supports_frame(scene: Scene) -> bool:
             and not os.environ.get("RT_NO_FRAME_KERNEL"))
 
 
+def _tile_shortlists(cam, nby: int, nbx: int, centers: Array,
+                     radii: Array) -> Array:
+    """Per-tile compact sphere id lists -> i32 [nby*nbx, 1 + ceil(S/2)].
+
+    Row layout: word 0 = count, then ids ascending, two 16-bit ids per word
+    (low half first). Entirely analytic — no per-ray tensors: tile (by, bx)
+    covers th_h in a 128*step_h band and th_v in a FUSE_SUB*step_v band, so
+    every tile direction is within theta = 64*step_h + FUSE_SUB/2*step_v of
+    the tile-center direction (each equiangular parameter step is a rotation
+    by at most the step angle, so angular distance <= |dth_h| + |dth_v|).
+    Sphere s is kept iff the cone from the camera position with half-angle
+    theta intersects it — exact culling: a rejected sphere cannot be hit by
+    any forward ray of the tile, so the kernel winner is unchanged.
+    """
+    step_h = cam.fov_h / cam.w
+    step_v = cam.fov_v / cam.h
+    bx = jnp.arange(nbx, dtype=jnp.float32)
+    by = jnp.arange(nby, dtype=jnp.float32)
+    thc_h = (bx * SP_LANE + (SP_LANE - 1) / 2 - (cam.w // 2)) * step_h
+    thc_v = (by * FUSE_SUB + (FUSE_SUB - 1) / 2 - (cam.h // 2)) * step_v
+    ch, sh = jnp.cos(thc_h)[None, :], jnp.sin(thc_h)[None, :]   # [1, nbx]
+    cv, sv = jnp.cos(thc_v)[:, None], jnp.sin(thc_v)[:, None]   # [nby, 1]
+    axis = ((ch * cv)[..., None] * cam.front
+            + (ch * sv)[..., None] * cam.up
+            + jnp.broadcast_to(sh[..., None] * cam.left, (nby, nbx, 3)))
+    axis = axis.reshape(-1, 3)                                   # [B, 3]
+    theta = (SP_LANE / 2) * step_h + (FUSE_SUB / 2) * step_v + 1e-4
+    cos_t, sin_t = float(np.cos(theta)), float(np.sin(theta))
+
+    v = centers[None, :, :] - cam.pos[None, None, :]             # [B, S, 3]
+    dist = jnp.linalg.norm(v, axis=-1)
+    inside = dist <= radii[None, :] * (1.0 + 1e-5) + 1e-7
+    sin_a = jnp.clip(radii[None, :] / jnp.maximum(dist, 1e-20), 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    cos_b = jnp.einsum("bsk,bk->bs", v, axis) / jnp.maximum(dist, 1e-20)
+    include = inside | (cos_b >= cos_a * cos_t - sin_a * sin_t - 1e-5)
+
+    s = centers.shape[0]
+    cnt = jnp.sum(include, axis=1).astype(jnp.int32)[:, None]    # [B, 1]
+    # ascending included ids first, then a sentinel tail (never read)
+    key = jnp.where(include, jnp.arange(s, dtype=jnp.int32)[None, :],
+                    jnp.int32(1 << 20))
+    ids = jnp.sort(key, axis=1) & 0xFFFF
+    if s % 2:
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((ids.shape[0], 1), jnp.int32)], axis=1)
+    pairs = ids.reshape(ids.shape[0], -1, 2)
+    words = pairs[:, :, 0] | (pairs[:, :, 1] << 16)
+    return jnp.concatenate([cnt, words], axis=1)
+
+
 def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
                       interpret: bool | None = None) -> Array:
-    """Whole-frame fused trace with in-kernel ray generation -> [h*w, 3].
+    """Whole-frame fused trace with in-kernel ray generation -> [h, w, 3].
 
     Caller must check :func:`supports_frame`. Rays never exist in HBM: the
-    camera pose rides in as 18 SMEM scalars and each program derives its
-    pixel directions from iota (models/camera.pixel_rays closed form).
+    camera pose rides in as 18 SMEM scalars and each (row-tile, col-tile)
+    program derives its pixel directions from iota (models/camera.pixel_rays
+    closed form), consults its per-tile sphere shortlist for bounce 0, and
+    writes its FUSE_SUB x 128 pixel tile of the output image directly.
     Matches the wavefront path to f32 ULP noise (unit-|d| specialization
     changes the rounding of the sphere quadratic), not bitwise.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n = cam.w * cam.h
-    quant = FUSE_SUB * SP_LANE
-    rows = (-(-n // quant)) * FUSE_SUB
+    nbx = -(-cam.w // SP_LANE)
+    nby = -(-cam.h // FUSE_SUB)
 
     sph, box, tri, sky, meta = _pack_prims(scene, cam_pos=cam.pos)
     cam_arr = jnp.concatenate([
@@ -760,10 +847,20 @@ def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
         cam.up.astype(jnp.float32),
         jnp.array([cam.fov_h / cam.w, cam.fov_v / cam.h,
                    float(cam.w // 2), float(cam.h // 2),
-                   1.0 / cam.w, float(cam.w)], jnp.float32),
+                   0.0, 0.0], jnp.float32),
     ]).reshape(1, _CAM_SLOTS)
+    dyn_short = (scene.n_spheres >= FRAME_SHORT_MIN
+                 and not os.environ.get("RT_NO_FRAME_SHORT"))
+    if dyn_short:
+        tab = _tile_shortlists(cam, nby, nbx, scene.sphere_center,
+                               scene.sphere_radius)
+    else:
+        tab = jnp.zeros((nby * nbx, 2), jnp.int32)
     cr, cg, cb, _st = _trace_frame_call(
-        cam_arr, sph, box, tri, sky, meta, int(cfg.refmax),
-        float(cfg.distance_attenuation_factor), rows, interpret=interpret)
-    return jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
-                      cb.reshape(-1)[:n]], axis=-1)
+        cam_arr, sph, box, tri, sky, tab, meta, int(cfg.refmax),
+        float(cfg.distance_attenuation_factor), nby, nbx, dyn_short,
+        interpret=interpret)
+    img = jnp.stack([cr, cg, cb], axis=-1)
+    if img.shape[0] != cam.h or img.shape[1] != cam.w:
+        img = img[:cam.h, :cam.w]
+    return img

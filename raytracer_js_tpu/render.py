@@ -82,8 +82,7 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
         if trace_fused.supports_frame(scene):
             # headline path: rays are generated inside the kernel — no
             # raygen/pack stage, no ray tensors in HBM at all
-            color = trace_fused.trace_frame_fused(scene, cfg, camera)
-            return color.reshape(camera.h, camera.w, 3)
+            return trace_fused.trace_frame_fused(scene, cfg, camera)
     org, dir = pixel_rays(camera)
     ray_id = jnp.arange(org.shape[0], dtype=jnp.int32)
     colors = render_rays(scene, cfg, org, dir, key, ray_id, accel=accel)

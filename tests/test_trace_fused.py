@@ -172,3 +172,46 @@ def test_frame_fused_mirror_bounces():
     img_f = np.asarray(render_hdr(
         scene, cam, RenderConfig(refmax=4, backend=HitBackend.FUSED)))
     np.testing.assert_allclose(img_f, img_b, rtol=1e-4, atol=1e-5)
+
+
+def test_frame_fused_tile_shortlist_parity(monkeypatch):
+    """Per-tile analytic cone shortlists must be exact culling: a scene of
+    spheres scattered across/behind/around the camera renders identically
+    (to ULP noise) with and without the shortlist path."""
+    import raytracer_js_tpu.kernels.trace_fused as tf
+    from raytracer_js_tpu import render_hdr
+    from raytracer_js_tpu.config import HitBackend
+
+    monkeypatch.setattr(tf, "FRAME_SHORT_MIN", 4)
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.2, 0.3, 0.4)))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    rng = np.random.default_rng(11)
+    for i in range(24):
+        c = rng.uniform([-6.0, -6.0, -6.0], [8.0, 6.0, 6.0])
+        tex = b.add_solid_texture(rng.uniform(0.2, 1.0, 3))
+        b.add_sphere(c, float(rng.uniform(0.2, 1.0)),
+                     (diffuse, mirror)[i % 2], tex)
+    b.add_sphere((0.0, 0.0, 0.0), 18.0, diffuse, white)  # encloses camera
+    b.add_sphere((5.0, 0.0, 2.0), 0.8, light, white)
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.5), 48, 40, np.pi / 2, np.pi / 2,
+                      rot_h=0.4)
+    cfg = RenderConfig(refmax=3, backend=HitBackend.FUSED)
+    img_s = np.asarray(render_hdr(scene, cam, cfg))
+    monkeypatch.setenv("RT_NO_FRAME_SHORT", "1")
+    img_full = np.asarray(render_hdr(scene, cam, cfg))
+    np.testing.assert_array_equal(img_s, img_full)
+    # brute stays the semantic reference
+    img_b = np.asarray(render_hdr(
+        scene, cam, RenderConfig(refmax=3, backend=HitBackend.BRUTE)))
+    np.testing.assert_allclose(img_s, img_b, rtol=1e-4, atol=1e-5)
+    # and the shortlist actually culls for off-axis tiles
+    tab = np.asarray(tf._tile_shortlists(
+        cam, -(-cam.h // tf.FUSE_SUB), -(-cam.w // tf.SP_LANE),
+        scene.sphere_center, scene.sphere_radius))
+    assert tab[:, 0].min() >= 1
+    assert tab[:, 0].min() < scene.n_spheres
