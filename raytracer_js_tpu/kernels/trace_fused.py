@@ -85,14 +85,16 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                 cr_ref, cg_ref, cb_ref, st_ref,
                 *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
                 refmax, atten, use_short, unit_d, has_c0,
-                tab_ref=None, dyn_short=False):
+                tab_ref=None, dyn_short=False, tab_row=0):
     """Shared bounce-loop body. ``ox/oy/oz`` may be rank-0 (shared camera
     origin, frame path) or [SUB, LANE] tiles (wavefront path); ``unit_d``
     statically drops the |d|^2 quadratic terms (valid when every incoming
     direction is unit — reflections preserve the norm); ``has_c0`` reads the
     host-folded bounce-0 sphere constant from table row 9; ``dyn_short``
     makes bounce 0's sphere loops run over the per-tile compact id list in
-    ``tab_ref`` (SMEM: [cnt, id-pairs...]) instead of all n_sph."""
+    row ``tab_row`` of ``tab_ref`` (SMEM, full table: one [cnt, id-pairs...]
+    row per tile — TPU lowering rejects sub-8-row SMEM blocks, so programs
+    share the whole table and pick their row by scalar index)."""
     shape = dx.shape
     col_r = jnp.ones(shape, jnp.float32)
     col_g = jnp.ones(shape, jnp.float32)
@@ -171,7 +173,7 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
         def tab_id(j):
             """Shortlisted sphere id j from the SMEM pair-packed id table
             (word 0 = count, then two 16-bit ids per word, low half first)."""
-            word = tab_ref[0, 1 + j // 2]
+            word = tab_ref[tab_row, 1 + j // 2]
             return (word >> (16 * (j % 2))) & 0xFFFF
 
         if first and dyn_short:
@@ -180,7 +182,7 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
             # culling (a rejected sphere cannot be hit by any tile ray), so
             # the winner is identical to the full scan.
             best = jax.lax.fori_loop(
-                0, tab_ref[0, 0], lambda j, b: sph_body(tab_id(j), b), best)
+                0, tab_ref[tab_row, 0], lambda j, b: sph_body(tab_id(j), b), best)
         elif short:
             # bitmask culling: a Python-unrolled loop with STATIC row
             # indices, where each candidate's ~30 vector ops hide behind a
@@ -286,7 +288,7 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
             # the phase-1 winner is always shortlist-included, so the pick
             # scan may run over the same compact id list
             sph_pick_acc = jax.lax.fori_loop(
-                0, tab_ref[0, 0],
+                0, tab_ref[tab_row, 0],
                 lambda j, acc: sph_pick(tab_id(j), acc), sph_pick_acc)
             (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc
         elif short:
@@ -521,7 +523,8 @@ def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
                 s_pad=s_pad, b_pad=b_pad, r_pad=r_pad,
                 refmax=refmax, atten=atten, use_short=False,
                 unit_d=True, has_c0=True,
-                tab_ref=tab_ref, dyn_short=dyn_short)
+                tab_ref=tab_ref, dyn_short=dyn_short,
+                tab_row=by * pl.num_programs(1) + bx)
 
 
 @functools.partial(jax.jit,
@@ -572,8 +575,11 @@ def _trace_frame_call(cam, sph, box, tri, sky, tab, meta, refmax, atten,
                                     memory_space=pltpu.VMEM)
     cam_spec = pl.BlockSpec(cam.shape, lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
-    # per-tile shortlist row (row-major over (by, bx))
-    tab_spec = pl.BlockSpec((1, tab.shape[1]), lambda i, j: (i * nbx + j, 0),
+    # per-tile shortlist rows (row-major over (by, bx)): the WHOLE table as
+    # one SMEM block — TPU lowering rejects (1, W) row blocks (sublane dim
+    # must be a multiple of 8 or full), so each program scalar-indexes its
+    # own row instead
+    tab_spec = pl.BlockSpec(tab.shape, lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
     h_pad, w_pad = nby * FUSE_SUB, nbx * SP_LANE
     return pl.pallas_call(
@@ -777,28 +783,38 @@ def _tile_shortlists(cam, nby: int, nbx: int, centers: Array,
 
     Row layout: word 0 = count, then ids ascending, two 16-bit ids per word
     (low half first). Entirely analytic — no per-ray tensors: tile (by, bx)
-    covers th_h in a 128*step_h band and th_v in a FUSE_SUB*step_v band, so
-    every tile direction is within theta = 64*step_h + FUSE_SUB/2*step_v of
-    the tile-center direction (each equiangular parameter step is a rotation
-    by at most the step angle, so angular distance <= |dth_h| + |dth_v|).
+    covers th_h/th_v bands of one equiangular step per pixel, so every tile
+    direction is within theta = half_h + half_v of the tile-center direction
+    (each equiangular parameter step is a rotation by at most the step
+    angle, so angular distance <= |dth_h| + |dth_v|). The band is clamped to
+    the image's VALID pixel range: padding rays (x >= w or y >= h of a
+    partial edge tile) may consult a shortlist that excludes spheres they
+    would hit, but their outputs are sliced off by trace_frame_fused.
     Sphere s is kept iff the cone from the camera position with half-angle
     theta intersects it — exact culling: a rejected sphere cannot be hit by
-    any forward ray of the tile, so the kernel winner is unchanged.
+    any forward ray of the tile's valid pixels, so the frame winner is
+    unchanged.
     """
     step_h = cam.fov_h / cam.w
     step_v = cam.fov_v / cam.h
-    bx = jnp.arange(nbx, dtype=jnp.float32)
-    by = jnp.arange(nby, dtype=jnp.float32)
-    thc_h = (bx * SP_LANE + (SP_LANE - 1) / 2 - (cam.w // 2)) * step_h
-    thc_v = (by * FUSE_SUB + (FUSE_SUB - 1) / 2 - (cam.h // 2)) * step_v
+    x_lo = np.arange(nbx) * SP_LANE
+    x_hi = np.minimum(cam.w - 1, x_lo + SP_LANE - 1)
+    y_lo = np.arange(nby) * FUSE_SUB
+    y_hi = np.minimum(cam.h - 1, y_lo + FUSE_SUB - 1)
+    thc_h = jnp.asarray(((x_lo + x_hi) / 2 - (cam.w // 2)) * step_h,
+                        jnp.float32)                             # [nbx]
+    thc_v = jnp.asarray(((y_lo + y_hi) / 2 - (cam.h // 2)) * step_v,
+                        jnp.float32)                             # [nby]
     ch, sh = jnp.cos(thc_h)[None, :], jnp.sin(thc_h)[None, :]   # [1, nbx]
     cv, sv = jnp.cos(thc_v)[:, None], jnp.sin(thc_v)[:, None]   # [nby, 1]
     axis = ((ch * cv)[..., None] * cam.front
             + (ch * sv)[..., None] * cam.up
             + jnp.broadcast_to(sh[..., None] * cam.left, (nby, nbx, 3)))
     axis = axis.reshape(-1, 3)                                   # [B, 3]
-    theta = (SP_LANE / 2) * step_h + (FUSE_SUB / 2) * step_v + 1e-4
-    cos_t, sin_t = float(np.cos(theta)), float(np.sin(theta))
+    theta = ((x_hi - x_lo)[None, :] / 2 * step_h
+             + (y_hi - y_lo)[:, None] / 2 * step_v + 1e-4)       # [nby, nbx]
+    cos_t = jnp.asarray(np.cos(theta).reshape(-1, 1), jnp.float32)
+    sin_t = jnp.asarray(np.sin(theta).reshape(-1, 1), jnp.float32)
 
     v = centers[None, :, :] - cam.pos[None, None, :]             # [B, S, 3]
     dist = jnp.linalg.norm(v, axis=-1)
