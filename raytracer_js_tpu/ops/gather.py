@@ -19,6 +19,33 @@ Array = jnp.ndarray
 #: is the MXU pass ~ N*K*C MACs; past ~1k rows jnp.take wins again.
 ONE_HOT_MAX_ROWS = 1024
 
+#: integer/bool columns roundtrip through the f32 matmul; f32 represents
+#: integers exactly only below 2^24, so larger stored values would silently
+#: corrupt. Checked statically for concrete tables in _check_int_exact.
+INT_EXACT_MAX = 1 << 24
+
+
+def _check_int_exact(t: Array) -> None:
+    """Static guard for the int-through-f32 one-hot roundtrip.
+
+    Raises if a *concrete* integer/bool table stores values the f32 matmul
+    cannot represent exactly (|v| >= 2^24). Traced tables can't be value-
+    checked; every integer table in this framework stores indices into
+    scene-sized tables (< 2^24 by construction), and this assert catches a
+    concrete violation at trace time before it silently corrupts.
+    """
+    if not (jnp.issubdtype(t.dtype, jnp.integer) or t.dtype == jnp.bool_):
+        return
+    if isinstance(t, jax.core.Tracer) or t.dtype == jnp.bool_:
+        return
+    import numpy as np
+
+    v = np.asarray(t)
+    if v.size and (np.abs(v).max() >= INT_EXACT_MAX):
+        raise ValueError(
+            f"gather one-hot roundtrip: int table holds values >= 2^24 "
+            f"(max {np.abs(v).max()}); f32 matmul would corrupt them")
+
 
 def gather_rows(table: Array, idx: Array) -> Array:
     """``table[idx]`` for a [K, C...] table and [N] int idx -> [N, C...].
@@ -48,6 +75,7 @@ def gather_cols(idx: Array, *tables: Array) -> tuple:
     cols = []
     widths = []
     for t in tables:
+        _check_int_exact(t)
         t2 = t[:, None] if t.ndim == 1 else t
         cols.append(t2.astype(jnp.float32))
         widths.append(t2.shape[1])
