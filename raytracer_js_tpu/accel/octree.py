@@ -261,6 +261,60 @@ def prim_hit_t(scene: Scene, org: Array, dir: Array, pid: Array) -> Array:
     return jnp.where(pid >= 0, t, jnp.inf)
 
 
+def prim_contains(scene: Scene, point: Array, pid: Array) -> Array:
+    """Does primitive ``pid`` contain ``point``? Branchless type dispatch
+    (the ``is_within`` virtual of entity.ts:73-75: sphere entity_sphere.ts,
+    box entity_box.ts; triangles have no interior). pid < 0 -> False.
+    Shapes: point [..., 3], pid [...] -> bool [...]."""
+    inside = jnp.zeros(pid.shape, bool)
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+    pid_c = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    if scene.n_spheres:
+        i = jnp.clip(pid_c, 0, s_end - 1)
+        d2 = jnp.sum((point - scene.sphere_center[i]) ** 2, -1)
+        inside = jnp.where(pid_c < s_end,
+                           d2 <= scene.sphere_radius[i] ** 2, inside)
+    if scene.n_boxes:
+        i = jnp.clip(pid_c - s_end, 0, scene.n_boxes - 1)
+        rel = jnp.abs(point - scene.box_center[i])
+        inside = jnp.where((pid_c >= s_end) & (pid_c < b_end),
+                           jnp.all(rel <= scene.box_half[i], -1), inside)
+    return inside & (pid >= 0)
+
+
+def point_query_candidates(accel: OctreeAccel, point: Array) -> Array:
+    """Candidate prim ids whose AABB may contain ``point`` -> [N, K + Nc].
+
+    The grid-accelerated replacement for testing every primitive: a fine
+    entity containing p overlaps p's finest cell (the CSR scatter covers the
+    whole AABB), so the cell's CSR span plus the coarse list is a superset
+    of all containing entities — the ``entity_at_pos`` contract
+    (octree_entity.ts:191-202) without the pointer descent. Padding/absent
+    candidates are -1.
+    """
+    n = point.shape[0]
+    R = accel.res
+    cell_sz = accel.root_size / R
+    rel = (point - accel.root_lo) / cell_sz
+    in_root = jnp.all((rel >= 0.0) & (rel < R), axis=-1)
+    cell = jnp.clip(rel.astype(jnp.int32), 0, R - 1)
+    lin = (cell[:, 0] * R + cell[:, 1]) * R + cell[:, 2]
+    base = accel.cell_offsets[lin]                              # [N]
+    cnt = accel.cell_offsets[lin + 1] - base
+    k = jnp.arange(max(accel.max_per_cell, 1), dtype=jnp.int32)[None, :]
+    nk = accel.cell_ids.shape[0]
+    if nk:
+        idx = jnp.clip(base[:, None] + k, 0, nk - 1)
+        fine = jnp.where((k < cnt[:, None]) & in_root[:, None],
+                         accel.cell_ids[idx], -1)               # [N, K]
+    else:
+        fine = jnp.full((n, 1), -1, jnp.int32)
+    coarse = jnp.broadcast_to(accel.coarse_ids[None, :],
+                              (n, accel.coarse_ids.shape[0]))
+    return jnp.concatenate([fine, coarse], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Traversal: wavefront 3-axis DDA (the OctreeWalker re-expression)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,482 @@
+"""Tiled candidate-list trace kernel — the big-scene (100k+ prim) path.
+
+The fused kernel (kernels/trace_fused) streams the whole primitive table
+past every ray tile from lane-replicated VMEM rows; at 100k primitives that
+table alone would be ~0.5 GB and the scan 2000x too much work. This kernel
+instead consumes, per ray tile, a *candidate table* built by
+accel/candidates: the exact conservative set of primitives any ray of the
+tile could hit, type-segregated and sorted by a lower-bound entry distance
+``t_lo``. The per-tile scan then
+
+* reads each candidate's attributes as VMEM scalars (dense [C, N_ATTR]
+  rows, dynamic-sublane indexed — no lane-replication, no gathers), and
+* early-exits per CHUNK of candidates once every live ray's current best
+  hit precedes every remaining candidate (``t_best <= next chunk's t_lo``)
+  — the tile-granular analogue of the reference walker's per-ray
+  near-to-far termination (octree_space.ts:316-361, raytracer.ts:186-195).
+
+One kernel call performs ONE bounce (hit search + winner extraction +
+shading + respawn) and writes the full ray state back; divergent bounces
+re-tile the wavefront into coherent packets between calls
+(render.render_tiled drives this). Directions must be unit (camera rays are
+unit by construction; mirror reflections preserve the norm), which drops
+the |d|^2 quadratic terms exactly like trace_fused's ``unit_d`` path.
+
+Shading semantics are identical to ops/trace._bounce for the restricted
+class (solid textures/sky, no transmission, zero roughness — mirrored from
+raytracer.ts:166-277); the EXHAUST blackout and light-hit inverse-square
+attenuation are applied by the caller after the last bounce
+(raytracer.ts:256-263, :273-275).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EPS_ADVANCE, RayStatus
+from ..accel.candidates import N_ATTR
+
+Array = jnp.ndarray
+
+#: ray-tile sublanes (rays per program = TILE_SUB * 128)
+TILE_SUB = int(os.environ.get("RT_TILE_SUB", "32"))
+LANE = 128
+#: candidates per early-exit check
+CHUNK = int(os.environ.get("RT_TILE_CHUNK", "16"))
+
+_INF = float(np.inf)
+_SLAB_EPS = 1e-12
+_MT_EPS = 1e-9
+_ALIVE = int(RayStatus.ALIVE)
+_LIGHT = int(RayStatus.LIGHT)
+_KEEP = int(RayStatus.KEEP)
+_MISS = int(RayStatus.MISS)
+
+# SMEM camera/constants layout (f32):
+# 0-2 pos, 3-5 front, 6-8 left, 9-11 up, 12 step_h, 13 step_v,
+# 14 off_h, 15 off_v, 16-18 sky rgb, 19 w, 20 h, 21 spare
+TCAM_SLOTS = 22
+
+
+def _safe_inv(d):
+    tiny = jnp.abs(d) < _SLAB_EPS
+    return 1.0 / jnp.where(tiny, jnp.where(d < 0, -_SLAB_EPS, _SLAB_EPS), d)
+
+
+def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
+                 ox, oy, oz, dx, dy, dz, col_r, col_g, col_b,
+                 path, status, sky_r, sky_g, sky_b):
+    """One traverse->intersect->shade->respawn pass over one ray tile.
+
+    ``tab`` is the tile's [c_max, N_ATTR] candidate ref (see
+    accel/candidates for the column layout); ``cnt_*`` are the scalar
+    per-type candidate counts; ray state is (TILE_SUB, LANE)-shaped. Returns
+    the updated state tuple plus (t_best, pid) for tests.
+    """
+    shape = dx.shape
+    alive = status == _ALIVE
+    any_alive = jnp.any(alive)
+    o_dot_d = ox * dx + oy * dy + oz * dz
+    o_dot_o = ox * ox + oy * oy + oz * oz
+    ix, iy, iz = _safe_inv(dx), _safe_inv(dy), _safe_inv(dz)
+    n_chunks = -(-c_max // CHUNK)      # ceil: c_max < CHUNK still scans
+
+    # ---- phase 1: hit search; carry (t_best, jwin) only ------------------
+    t_best0 = jnp.full(shape, _INF, jnp.float32)
+    jwin0 = jnp.full(shape, -1, jnp.int32)
+
+    def sphere_t(j):
+        cx = tab[j, 2]
+        cy = tab[j, 3]
+        cz = tab[j, 4]
+        ccmr = tab[j, 5]
+        b_half = o_dot_d - (dx * cx + dy * cy + dz * cz)
+        c = o_dot_o - 2.0 * (ox * cx + oy * cy + oz * cz) + ccmr
+        disc = b_half * b_half - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = jnp.where(-b_half - sq >= 0.0, -b_half - sq, sq - b_half)
+        return t, (disc >= 0.0) & (t >= 0.0)
+
+    def box_t(j):
+        cx = tab[j, 2]
+        cy = tab[j, 3]
+        cz = tab[j, 4]
+        hx = tab[j, 5]
+        hy = tab[j, 6]
+        hz = tab[j, 7]
+        tax = (cx - hx - ox) * ix
+        tbx = (cx + hx - ox) * ix
+        tay = (cy - hy - oy) * iy
+        tby = (cy + hy - oy) * iy
+        taz = (cz - hz - oz) * iz
+        tbz = (cz + hz - oz) * iz
+        t_en = jnp.maximum(jnp.maximum(jnp.minimum(tax, tbx),
+                                       jnp.minimum(tay, tby)),
+                           jnp.minimum(taz, tbz))
+        t_ex = jnp.minimum(jnp.minimum(jnp.maximum(tax, tbx),
+                                       jnp.maximum(tay, tby)),
+                           jnp.maximum(taz, tbz))
+        t = jnp.where(t_en >= 0.0, t_en, t_ex)
+        return t, (t_en <= t_ex) & (t >= 0.0)
+
+    def tri_t(j):
+        v0x = tab[j, 2]
+        v0y = tab[j, 3]
+        v0z = tab[j, 4]
+        e1x = tab[j, 5]
+        e1y = tab[j, 6]
+        e1z = tab[j, 7]
+        e2x = tab[j, 8]
+        e2y = tab[j, 9]
+        e2z = tab[j, 10]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, _MT_EPS, det)
+        sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+        u = (sx * px + sy * py + sz * pz) * inv_det
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        ok = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t >= 0.0))
+        return t, ok
+
+    def scan_segment(test, base, cnt, carry):
+        """Chunked early-exit scan of candidate rows [base, base+cnt)."""
+        end = base + cnt
+
+        def chunk_step(ci, st):
+            t_best, jwin, open_ = st
+
+            def do(st):
+                t_best, jwin = st
+                j0 = base + ci * CHUNK
+                for k in range(CHUNK):
+                    j = j0 + k
+                    # clamp the read row: the tail chunk of a segment may
+                    # index past the table end (reads are discarded by the
+                    # j < end mask)
+                    t, valid = test(jnp.minimum(j, c_max - 1))
+                    upd = (t < t_best) & valid & (j < end)
+                    t_best = jnp.where(upd, t, t_best)
+                    jwin = jnp.where(upd, j, jwin)
+                return t_best, jwin
+
+            t_best, jwin = jax.lax.cond(open_, do, lambda s: s,
+                                        (t_best, jwin))
+            nxt = base + (ci + 1) * CHUNK
+            next_tlo = tab[jnp.minimum(nxt, c_max - 1), 0]
+            done = jnp.all(~alive | (t_best <= next_tlo))
+            open_ = open_ & ~done & (nxt < end)
+            return t_best, jwin, open_
+
+        t_best, jwin, _ = jax.lax.fori_loop(
+            0, n_chunks, chunk_step, (*carry, (cnt > 0) & any_alive))
+        return t_best, jwin
+
+    carry = (t_best0, jwin0)
+    carry = scan_segment(sphere_t, 0, cnt_s, carry)
+    carry = scan_segment(box_t, cnt_s, cnt_b, carry)
+    carry = scan_segment(tri_t, cnt_s + cnt_b, cnt_t, carry)
+    t_best, jwin = carry
+
+    # ---- phase 2: winner attribute extraction by jwin match --------------
+    # The winner is always within the scanned prefix; exit once every lane's
+    # winner index precedes the next chunk (jwin is bounded by the hit-phase
+    # scan, so this converges at least as fast).
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    st0 = dict(wr=one, wg=one, wb=one, wm=zero, pid=jnp.full(
+        shape, -1, jnp.int32), g0=zero, g1=zero, g2=zero, g3=zero,
+        g4=zero, g5=zero)
+
+    def pick_segment(base, cnt, geo_cols, st):
+        end = base + cnt
+
+        def chunk_step(ci, st_open):
+            st, open_ = st_open
+
+            def do(st):
+                out = dict(st)
+                j0 = base + ci * CHUNK
+                for k in range(CHUNK):
+                    j = j0 + k
+                    jr = jnp.minimum(j, c_max - 1)    # clamp tail reads
+                    m = jwin == j
+                    out["wr"] = jnp.where(m, tab[jr, 14], out["wr"])
+                    out["wg"] = jnp.where(m, tab[jr, 15], out["wg"])
+                    out["wb"] = jnp.where(m, tab[jr, 16], out["wb"])
+                    out["wm"] = jnp.where(m, tab[jr, 17], out["wm"])
+                    out["pid"] = jnp.where(m, tab[jr, 1].astype(jnp.int32),
+                                           out["pid"])
+                    for gi, col in enumerate(geo_cols):
+                        out[f"g{gi}"] = jnp.where(m, tab[jr, col],
+                                                  out[f"g{gi}"])
+                return out
+
+            st = jax.lax.cond(open_, do, lambda s: s, st)
+            nxt = base + (ci + 1) * CHUNK
+            done = jnp.all(jwin < nxt)
+            return st, open_ & ~done & (nxt < end)
+
+        st, _ = jax.lax.fori_loop(
+            0, n_chunks, chunk_step,
+            (st, (cnt > 0) & jnp.any((jwin >= base) & (jwin < end))))
+        return st
+
+    # sphere winners: center + 1/r; box winners: center + half; tri: normal
+    s_st = pick_segment(0, cnt_s, (2, 3, 4, 6), st0)
+    is_sph = (jwin >= 0) & (jwin < cnt_s)
+    b_st = pick_segment(cnt_s, cnt_b, (2, 3, 4, 5, 6, 7), s_st)
+    is_box = (jwin >= cnt_s) & (jwin < cnt_s + cnt_b)
+    t_st = pick_segment(cnt_s + cnt_b, cnt_t, (11, 12, 13), b_st)
+    is_tri = jwin >= cnt_s + cnt_b
+    wr, wg, wb, w_mode, pid = (t_st["wr"], t_st["wg"], t_st["wb"],
+                               t_st["wm"], t_st["pid"])
+
+    # ---- winner normal, once per bounce ----------------------------------
+    t_fin = jnp.where(t_best < _INF, t_best, 0.0)
+    hx_ = ox + t_fin * dx
+    hy_ = oy + t_fin * dy
+    hz_ = oz + t_fin * dz
+    # sphere: (hit - c) * (1/r); overwritten below for box/tri winners
+    nx = (hx_ - t_st["g0"]) * t_st["g3"]
+    ny = (hy_ - t_st["g1"]) * t_st["g3"]
+    nz = (hz_ - t_st["g2"]) * t_st["g3"]
+    # box: winning slab axis -> face normal (ops/intersect.box_surface
+    # x > y > z tie order); boolean logic only (no i1-vector selects)
+    bcx, bcy, bcz = t_st["g0"], t_st["g1"], t_st["g2"]
+    bhx, bhy, bhz = t_st["g3"], t_st["g4"], t_st["g5"]
+    tax = (bcx - bhx - ox) * ix
+    tbx = (bcx + bhx - ox) * ix
+    tay = (bcy - bhy - oy) * iy
+    tby = (bcy + bhy - oy) * iy
+    taz = (bcz - bhz - oz) * iz
+    tbz = (bcz + bhz - oz) * iz
+    t0x, t1x = jnp.minimum(tax, tbx), jnp.maximum(tax, tbx)
+    t0y, t1y = jnp.minimum(tay, tby), jnp.maximum(tay, tby)
+    t0z, t1z = jnp.minimum(taz, tbz), jnp.maximum(taz, tbz)
+    t_en = jnp.maximum(jnp.maximum(t0x, t0y), t0z)
+    t_ex = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    entering = t_en >= 0.0
+    wx = (entering & (t0x == t_en)) | (~entering & (t1x == t_ex))
+    wy = ((entering & (t0y == t_en)) | (~entering & (t1y == t_ex))) & ~wx
+    wz = ~wx & ~wy
+    sxn = jnp.where(dx < 0.0, 1.0, -1.0)
+    syn = jnp.where(dy < 0.0, 1.0, -1.0)
+    szn = jnp.where(dz < 0.0, 1.0, -1.0)
+    nx = jnp.where(is_box, jnp.where(wx, sxn, 0.0), nx)
+    ny = jnp.where(is_box, jnp.where(wy, syn, 0.0), ny)
+    nz = jnp.where(is_box, jnp.where(wz, szn, 0.0), nz)
+    # tri: packed unit geometric normal (sphere g-slots reused: see pick)
+    nx = jnp.where(is_tri, t_st["g0"], nx)
+    ny = jnp.where(is_tri, t_st["g1"], ny)
+    nz = jnp.where(is_tri, t_st["g2"], nz)
+    # flip toward the incoming ray (sphere inside view / tri winding);
+    # box face normals already oppose the ray by construction
+    do_flip = is_sph | is_tri
+    flip = jnp.where(do_flip & (dx * nx + dy * ny + dz * nz > 0.0),
+                     -1.0, 1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+    # ---- shade + respawn (raytracer.ts:166-277 via ops/trace._bounce) ----
+    hit = alive & (jwin >= 0)
+    lit = hit & (w_mode > 1.5)
+    cont = hit & (w_mode > 0.5) & ~lit
+    keep = hit & ~lit & ~cont
+    miss = alive & (jwin < 0)
+
+    col_r = jnp.where(hit, col_r * wr, jnp.where(miss, col_r * sky_r, col_r))
+    col_g = jnp.where(hit, col_g * wg, jnp.where(miss, col_g * sky_g, col_g))
+    col_b = jnp.where(hit, col_b * wb, jnp.where(miss, col_b * sky_b, col_b))
+    path = jnp.where(hit, path + t_best, path)
+    status = jnp.where(lit, _LIGHT,
+                       jnp.where(keep, _KEEP,
+                                 jnp.where(miss, _MISS, status)))
+
+    d_dot_n = dx * nx + dy * ny + dz * nz
+    rdx = dx - 2.0 * d_dot_n * nx
+    rdy = dy - 2.0 * d_dot_n * ny
+    rdz = dz - 2.0 * d_dot_n * nz
+    ox = jnp.where(cont, hx_ + EPS_ADVANCE * rdx, ox)
+    oy = jnp.where(cont, hy_ + EPS_ADVANCE * rdy, oy)
+    oz = jnp.where(cont, hz_ + EPS_ADVANCE * rdz, oz)
+    dx = jnp.where(cont, rdx, dx)
+    dy = jnp.where(cont, rdy, dy)
+    dz = jnp.where(cont, rdz, dz)
+    pid_out = jnp.where(hit, pid, -1)
+    return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+            t_best, pid_out)
+
+
+def _frame_kernel(cam_ref, cnt_ref, tab_ref,
+                  ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+                  cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
+                  *, c_max):
+    """Bounce-0 frame entry: rays generated in-register from the camera pose
+    (the equiangular closed form of models/camera.pixel_rays, exactly as
+    trace_fused._trace_frame_kernel)."""
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
+    row = by * pl.num_programs(1) + bx
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, LANE), 1)
+    x = (bx * LANE + lane).astype(jnp.float32)
+    y = (by * TILE_SUB + sub).astype(jnp.float32)
+    th_h = (x - cam_ref[0, 14]) * cam_ref[0, 12]
+    th_v = (y - cam_ref[0, 15]) * cam_ref[0, 13]
+    ch, sh = jnp.cos(th_h), jnp.sin(th_h)
+    cv, sv = jnp.cos(th_v), jnp.sin(th_v)
+    a1, a2 = ch * cv, ch * sv
+    dx = a1 * cam_ref[0, 3] + a2 * cam_ref[0, 9] + sh * cam_ref[0, 6]
+    dy = a1 * cam_ref[0, 4] + a2 * cam_ref[0, 10] + sh * cam_ref[0, 7]
+    dz = a1 * cam_ref[0, 5] + a2 * cam_ref[0, 11] + sh * cam_ref[0, 8]
+    shape = dx.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    ox = zero + cam_ref[0, 0]
+    oy = zero + cam_ref[0, 1]
+    oz = zero + cam_ref[0, 2]
+    # padding pixels of partial edge tiles start as MISS: their candidate
+    # cones exclude them anyway (outputs are cropped) and marking them dead
+    # keeps them from stalling the whole-tile early exit
+    pad = (x >= cam_ref[0, 19]) | (y >= cam_ref[0, 20])
+    status0 = jnp.where(pad, _MISS, _ALIVE).astype(jnp.int32)
+    out = _bounce_tile(
+        tab_ref, cnt_ref[row, 0], cnt_ref[row, 1], cnt_ref[row, 2], c_max,
+        ox, oy, oz, dx, dy, dz,
+        jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
+        jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+        status0,
+        cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18])
+    for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o), out):
+        ref[:, :] = val
+
+
+def _wave_kernel(cam_ref, cnt_ref, tab_ref,
+                 ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
+                 cr_i, cg_i, cb_i, path_i, st_i,
+                 ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+                 cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
+                 *, c_max):
+    """Wavefront entry: one bounce of an arbitrary (packetized) wavefront."""
+    row = pl.program_id(0)
+    out = _bounce_tile(
+        tab_ref, cnt_ref[row, 0], cnt_ref[row, 1], cnt_ref[row, 2], c_max,
+        ox_i[:, :], oy_i[:, :], oz_i[:, :], dx_i[:, :], dy_i[:, :],
+        dz_i[:, :], cr_i[:, :], cg_i[:, :], cb_i[:, :], path_i[:, :],
+        st_i[:, :], cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18])
+    for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
+                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o), out):
+        ref[:, :] = val
+
+
+def _cam_array(cam, sky_rgb) -> Array:
+    return jnp.concatenate([
+        cam.pos.astype(jnp.float32),
+        cam.front.astype(jnp.float32),
+        cam.left.astype(jnp.float32),
+        cam.up.astype(jnp.float32),
+        jnp.array([cam.fov_h / cam.w, cam.fov_v / cam.h,
+                   float(cam.w // 2), float(cam.h // 2)], jnp.float32),
+        jnp.asarray(sky_rgb, jnp.float32).reshape(3),
+        jnp.array([float(cam.w), float(cam.h)], jnp.float32),
+        jnp.zeros((TCAM_SLOTS - 21,), jnp.float32),
+    ]).reshape(1, TCAM_SLOTS)
+
+
+@functools.partial(jax.jit, static_argnames=("nby", "nbx", "c_max",
+                                             "interpret"))
+def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, interpret=False):
+    kern = functools.partial(_frame_kernel, c_max=c_max)
+    tile = pl.BlockSpec((TILE_SUB, LANE), lambda i, j: (i, j),
+                        memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec(cam_arr.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec(cnts.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    tab_spec = pl.BlockSpec((c_max, N_ATTR),
+                            lambda i, j: (i * nbx + j, 0),
+                            memory_space=pltpu.VMEM)
+    h_pad, w_pad = nby * TILE_SUB, nbx * LANE
+    f32 = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid=(nby, nbx),
+        in_specs=[cam_spec, cnt_spec, tab_spec],
+        out_specs=[tile] * 13,
+        out_shape=[f32] * 10 + [i32, f32, i32],
+        interpret=interpret,
+    )(cam_arr, cnts, tab)
+
+
+@functools.partial(jax.jit, static_argnames=("c_max", "interpret"))
+def _wave_call(cam_arr, cnts, tab, cols, c_max, interpret=False):
+    kern = functools.partial(_wave_kernel, c_max=c_max)
+    rows = cols[0].shape[0]
+    nblk = rows // TILE_SUB
+    tile = pl.BlockSpec((TILE_SUB, LANE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec(cam_arr.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    cnt_spec = pl.BlockSpec(cnts.shape, lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    tab_spec = pl.BlockSpec((c_max, N_ATTR), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[cam_spec, cnt_spec, tab_spec] + [tile] * 11,
+        out_specs=[tile] * 13,
+        out_shape=[f32] * 10 + [i32, f32, i32],
+        interpret=interpret,
+    )(cam_arr, cnts, tab, *cols)
+
+
+def frame_bounce0(scene, cam, tab, cnts, c_max, interpret=None):
+    """Bounce 0 over the whole frame -> dict of [h_pad, w_pad] state arrays.
+
+    ``tab``/``cnts`` from accel.candidates.frame_candidates with
+    sub=TILE_SUB, lane=LANE.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nbx = -(-cam.w // LANE)
+    nby = -(-cam.h // TILE_SUB)
+    sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
+    cam_arr = _cam_array(cam, sky_rgb)
+    outs = _frame_call(cam_arr, cnts, tab, nby, nbx, c_max,
+                       interpret=interpret)
+    names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
+             "path", "status", "t", "pid")
+    return dict(zip(names, outs))
+
+
+def wave_bounce(scene, cols, tab, cnts, c_max, interpret=None):
+    """One bounce of a packetized wavefront. ``cols`` is the 11-tuple
+    (ox..dz, cr, cg, cb, path, status) of [rows, 128] arrays; returns the
+    13-tuple including (t, pid)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
+    # camera pose slots unused by the wavefront entry; only sky is read
+    cam_arr = jnp.concatenate([
+        jnp.zeros((16,), jnp.float32),
+        jnp.asarray(sky_rgb, jnp.float32).reshape(3),
+        jnp.zeros((TCAM_SLOTS - 19,), jnp.float32)]).reshape(1, TCAM_SLOTS)
+    return _wave_call(cam_arr, cnts, tab, tuple(cols), c_max,
+                      interpret=interpret)

@@ -231,7 +231,8 @@ def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
 # Substance point query (TRANSMISSION refraction target)
 # ---------------------------------------------------------------------------
 
-def substance_refr_at(scene: Scene, point: Array, cur_refr: Array):
+def substance_refr_at(scene: Scene, point: Array, cur_refr: Array,
+                      accel=None):
     """Refraction target at ``point`` — the ``entity_at_pos`` analogue
     (octree_entity.ts:191-202 used at raytracer.ts:240-248).
 
@@ -242,10 +243,36 @@ def substance_refr_at(scene: Scene, point: Array, cur_refr: Array):
     * innermost containing entity with undefined substance → keep current
       substance, do NOT refract (raytracer.ts:243-248);
     * no containing entity → the scene default substance, refract.
+
+    With ``accel`` the containment test runs over the grid-cell candidate
+    superset (accel.octree.point_query_candidates) instead of the dense
+    [N, P] matrix — the octree point query the reference uses, mandatory
+    for transmission at large prim counts (an [N, P] bool at 1080p x 100k
+    prims would be ~200 GB logical).
     """
     n = point.shape[0]
     if scene.n_prims == 0:
         return jnp.broadcast_to(scene.default_refr, (n,)), jnp.ones((n,), bool)
+    if accel is not None:
+        from ..accel.octree import point_query_candidates, prim_contains
+
+        pid = point_query_candidates(accel, point)              # [N, C]
+        contained = prim_contains(scene, point[:, None, :], pid)
+        vols = prim_volumes(scene)
+        pid_c = jnp.clip(pid, 0, scene.n_prims - 1)
+        score = jnp.where(contained, vols[pid_c], jnp.inf)
+        j = jnp.argmin(score, axis=1)
+        ent = pid_c[jnp.arange(n), j]                           # innermost
+        any_inside = jnp.any(contained, axis=1)
+        sub_id = scene.prim_substance[ent]
+        defined = sub_id >= 0
+        sub_refr = scene.sub_refr[
+            jnp.clip(sub_id, 0, scene.sub_refr.shape[0] - 1)]
+        target = jnp.where(
+            any_inside,
+            jnp.where(defined, sub_refr, cur_refr),
+            jnp.broadcast_to(scene.default_refr, (n,)))
+        return target, jnp.where(any_inside, defined, True)
     inside_parts = []
     if scene.n_spheres:
         d2 = jnp.sum(
@@ -335,7 +362,7 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
     adv_point = point + EPS_ADVANCE * state.dir        # ε-advance, OLD dir
     if scene.has_transmission:
         target_refr, do_refract = substance_refr_at(scene, adv_point,
-                                                    state.refr)
+                                                    state.refr, accel=accel)
         eta = state.refr / jnp.maximum(target_refr, 1e-6)
         refr_dir, _tir = refract(state.dir, normal, eta)
         trans_dir = jnp.where(do_refract[:, None], refr_dir, state.dir)

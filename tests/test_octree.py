@@ -153,6 +153,44 @@ def test_render_octree_backend_matches_brute():
     np.testing.assert_allclose(img_o, img_b, rtol=1e-5, atol=1e-6)
 
 
+def test_substance_point_query_grid_matches_dense():
+    """Grid-accelerated substance lookup == dense innermost-containment
+    (the entity_at_pos analogue, octree_entity.ts:191-202), including
+    nested entities and undefined substances."""
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+    from raytracer_js_tpu.ops.trace import substance_refr_at
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.1, 0.1, 0.1)))
+    glass = b.add_substance(1.5)
+    water = b.add_substance(1.333)
+    trans = b.add_material(ResponseType.TRANSMISSION)
+    tex = b.add_solid_texture((1.0, 1.0, 1.0))
+    rng = np.random.default_rng(11)
+    for i in range(40):
+        c = rng.uniform(-2, 2, 3)
+        sub = [glass, water, -1][i % 3]      # incl. undefined substances
+        if i % 2:
+            b.add_sphere(c, float(rng.uniform(0.2, 0.9)), trans, tex, sub)
+        else:
+            b.add_box(c, float(rng.uniform(0.3, 1.2)), trans, tex, sub)
+    # nested pair: inner sphere inside outer box -> innermost wins
+    b.add_box((5.0, 5.0, 5.0), 2.0, trans, tex, water)
+    b.add_sphere((5.0, 5.0, 5.0), 0.4, trans, tex, glass)
+    scene = b.build()
+    accel = build_octree(scene, OctreeConfig(max_depth=4))
+
+    pts = jnp.asarray(np.concatenate([
+        rng.uniform(-3, 7, (512, 3)),
+        [[5.0, 5.0, 5.0], [5.0, 5.0, 6.5], [100.0, 0.0, 0.0]],
+    ]), jnp.float32)
+    cur = jnp.full((pts.shape[0],), 1.0, jnp.float32)
+    r_d, f_d = substance_refr_at(scene, pts, cur)
+    r_g, f_g = substance_refr_at(scene, pts, cur, accel=accel)
+    np.testing.assert_allclose(np.asarray(r_g), np.asarray(r_d), atol=0)
+    assert np.array_equal(np.asarray(f_g), np.asarray(f_d))
+
+
 def test_octree_empty_scene():
     from raytracer_js_tpu import SceneBuilder
 

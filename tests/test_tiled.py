@@ -1,0 +1,116 @@
+"""Tiled candidate-list kernel vs the BRUTE wavefront (golden parity).
+
+The tiled path (render_tiled + kernels/trace_tiled + accel/candidates) must
+reproduce ops/trace exactly for the restricted class: identical nearest
+hits (up to exact-tie order), identical shading state machine. Runs in
+Pallas interpret mode on the CPU mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder, make_camera
+from raytracer_js_tpu.accel import candidates as cand
+from raytracer_js_tpu.config import HitBackend
+from raytracer_js_tpu.kernels import trace_tiled as tt
+from raytracer_js_tpu.ops.trace import nearest_hit_brute
+from raytracer_js_tpu.render import render_hdr
+from raytracer_js_tpu.render_tiled import render_frame_tiled
+
+
+def _mixed_scene(n=120, seed=5):
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    rng = np.random.default_rng(seed)
+    pal = [b.add_solid_texture(rng.uniform(0.2, 1.0, 3)) for _ in range(6)]
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse, pal[0])   # ground
+    for i in range(n):
+        c = rng.uniform([2.0, -4.0, -0.5], [10.0, 4.0, 4.0], 3)
+        m = [diffuse, mirror, diffuse][i % 3]
+        if i % 5 == 4:
+            b.add_box(c, float(rng.uniform(0.2, 0.6)), m, pal[i % 6])
+        elif i % 7 == 6:
+            v0 = c
+            v1 = c + rng.uniform(-0.6, 0.6, 3)
+            v2 = c + rng.uniform(-0.6, 0.6, 3)
+            b.add_triangle(v0, v1, v2, m, pal[i % 6])
+        else:
+            b.add_sphere(c, float(rng.uniform(0.15, 0.5)), m, pal[i % 6])
+    b.add_sphere((6.0, 0.0, 6.0), 1.0, light, pal[1])
+    return b.build()
+
+
+def test_frame_candidates_cover_brute_winners():
+    """Exactness of the cone culling: every BRUTE nearest-hit winner of a
+    tile's rays appears in that tile's candidate list."""
+    scene = _mixed_scene(80)
+    cam = make_camera((0.0, 0.0, 0.5), 2 * tt.LANE, 2 * tt.TILE_SUB,
+                      np.pi / 2, np.pi / 2 * (2 * tt.TILE_SUB) / (2 * tt.LANE))
+    tab, cnts, c_max = cand.frame_candidates(scene, cam, tt.TILE_SUB, tt.LANE)
+    from raytracer_js_tpu.models.camera import pixel_rays
+
+    org, dirs = pixel_rays(cam)
+    _, pid = nearest_hit_brute(scene, org, dirs)
+    pid = np.asarray(pid).reshape(cam.h, cam.w)
+    tabn = np.asarray(tab).reshape(-1, c_max, cand.N_ATTR)
+    nbx = cam.w // tt.LANE
+    for by in range(cam.h // tt.TILE_SUB):
+        for bx in range(nbx):
+            tile_pids = set(
+                tabn[by * nbx + bx, :, 1][np.isfinite(
+                    tabn[by * nbx + bx, :, 0])].astype(int))
+            winners = set(pid[by * tt.TILE_SUB:(by + 1) * tt.TILE_SUB,
+                              bx * tt.LANE:(bx + 1) * tt.LANE].ravel())
+            winners.discard(-1)
+            assert winners <= tile_pids, (by, bx, winners - tile_pids)
+
+
+@pytest.mark.parametrize("refmax", [1, 3])
+def test_render_tiled_matches_brute(refmax):
+    scene = _mixed_scene(120)
+    w, h = 2 * tt.LANE, 2 * tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg_b = RenderConfig(refmax=refmax, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg_b))
+    got, diag = render_frame_tiled(scene, cfg_b, cam, with_diag=True)
+    got = np.asarray(got)
+    assert int(diag["overflow"]) == 0
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    # exact nearest-hit ties may pick a different prim on isolated pixels
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
+
+
+def test_render_tiled_tiny_scene():
+    """Regression: candidate counts below one early-exit CHUNK must still
+    scan (n_chunks was floor-div once — whole segments were skipped)."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    b.add_sphere((4.0, 0.0, 0.0), 1.0, diffuse,
+                 b.add_solid_texture((0.9, 0.2, 0.1)))
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse,
+              b.add_solid_texture((0.5, 0.5, 0.5)))
+    scene = b.build()
+    cam = make_camera((0.0, 0.0, 0.5), 128, 128, np.pi / 2, np.pi / 2)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got = np.asarray(render_frame_tiled(scene, cfg, cam))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_render_tiled_partial_tiles():
+    """Non-multiple frame sizes: padded lanes are cropped and do not
+    disturb valid pixels."""
+    scene = _mixed_scene(40)
+    w, h = 100, 50
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got = np.asarray(render_frame_tiled(scene, cfg, cam))
+    assert got.shape == want.shape
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
