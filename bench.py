@@ -22,6 +22,7 @@ Config modes (BASELINE.md "Benchmark configs"):
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -115,34 +116,64 @@ def build_config4_scene(n_prims: int = 100_000, seed: int = 7):
     return b.build()
 
 
-def _time_best(fn, arg, repeats):
-    """Per-dispatch latency: best of ``repeats`` synchronous calls."""
+def _materialize(out):
+    """Force true device completion by pulling one element to the host.
+
+    On the axon tunnel ``jax.block_until_ready`` does NOT reliably wait for
+    execution (measured: an 8192^3 bf16 matmul "completed" in 0.1 ms where
+    the arithmetic floor is 5.6 ms), and it also adds per-buffer overhead.
+    A host materialization of any element of the LAST output of an in-order
+    device queue is an exact completion barrier for everything before it.
+    """
     import jax
 
-    jax.block_until_ready(fn(arg))           # compile + warm
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _rtt(repeats=5):
+    """Host<->device materialization round-trip (subtracted from bursts)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x + 1.0)
+    v = jnp.zeros((8, 128), jnp.float32)
+    _materialize(tiny(v))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(arg))
+        _materialize(tiny(v))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def _time_best(fn, arg, repeats):
+    """Per-dispatch latency: best of ``repeats`` synchronous calls
+    (includes one materialization round trip — reported as ``sync_s``)."""
+    _materialize(fn(arg))                    # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _materialize(fn(arg))
         times.append(time.perf_counter() - t0)
     return min(times), times
 
 
-def _time_sustained(fn, arg, burst=16, repeats=3):
-    """Sustained per-frame time: ``burst`` frames dispatched asynchronously,
-    one sync at the end — the production-serving shape. Per-dispatch sync
-    adds a constant host<->device round trip (tens of ms over a remote
-    tunnel) that pipelined dispatch hides entirely.
+def _time_sustained(fn, arg, burst=64, repeats=3):
+    """Sustained per-frame time: ``burst`` frames queued back-to-back, ONE
+    host materialization of the last output (an exact barrier on an
+    in-order device queue), minus the measured round trip. This is the
+    production-serving shape; per-dispatch sync would add ~24 ms RTT per
+    frame over the tunnel and bury any sub-30 ms kernel.
     """
-    import jax
-
-    jax.block_until_ready(fn(arg))           # compile + warm
+    _materialize(fn(arg))                    # compile + warm
+    rtt = _rtt()
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         outs = [fn(arg) for _ in range(burst)]
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / burst)
+        _materialize(outs[-1])
+        times.append((time.perf_counter() - t0 - rtt) / burst)
     return min(times), times
 
 
@@ -171,21 +202,36 @@ def run_config(args):
         accel = None
         detail["n_tris"] = scene.n_tris
     elif n == 4:
-        from raytracer_js_tpu.accel.octree import build_octree
-
         scene, (w, h) = build_config4_scene(args.c4_prims), (1920, 1088)
-        cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
-        accel = build_octree(scene, OctreeConfig(max_depth=8))
-        detail.update(n_prims=scene.n_prims, octree_depth=8,
-                      max_per_cell=accel.max_per_cell)
+        if args.c4_backend == "octree":
+            from raytracer_js_tpu.accel.octree import build_octree
+
+            cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
+            accel = build_octree(scene, OctreeConfig(max_depth=8))
+            detail.update(n_prims=scene.n_prims, octree_depth=8,
+                          max_per_cell=accel.max_per_cell)
+        else:
+            cfg = RenderConfig(refmax=2, backend=HitBackend.TILED)
+            accel = None
+            detail.update(n_prims=scene.n_prims)
     elif n == 5:
         return run_config5(args)
     else:
         raise SystemExit(f"unknown --config {n}")
 
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
-    fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))
-    img = jax.block_until_ready(fn(scene))
+    if cfg.backend == HitBackend.TILED:
+        from raytracer_js_tpu.render_tiled import frame_tables
+
+        tab, cnts, c_max = frame_tables(scene, cam)
+        detail.update(c_max=c_max,
+                      cand_mean=float(np.asarray(cnts)[:, :3].sum(1).mean()))
+        fn = jax.jit(lambda s, tb, ct: render_hdr(
+            s, cam, cfg, tables=(tb, ct, c_max)))
+        fn = functools.partial(fn, tb=tab, ct=cnts)
+    else:
+        fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))
+    img = fn(scene)
     assert np.isfinite(np.asarray(img)).all()
     dt, times = _time_sustained(fn, scene, burst=args.burst)
     sync_dt, _ = _time_best(fn, scene, args.repeats)
@@ -263,13 +309,15 @@ def main():
                     help="256x256 smoke configuration")
     ap.add_argument("--spheres", type=int, default=50)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--burst", type=int, default=16,
+    ap.add_argument("--burst", type=int, default=64,
                     help="frames per sustained-throughput burst")
     ap.add_argument("--backward", action="store_true",
                     help="measure backward (gradient) rays/s instead")
     ap.add_argument("--config", type=int, default=0,
                     help="run BASELINE.md config N (1..5) instead")
     ap.add_argument("--c4-prims", type=int, default=100_000)
+    ap.add_argument("--c4-backend", default="tiled",
+                    choices=["tiled", "octree"])
     ap.add_argument("--c5-prims", type=int, default=1_000_000)
     ap.add_argument("--c5-res", type=int, nargs=2, default=(192, 112),
                     metavar=("W", "H"))

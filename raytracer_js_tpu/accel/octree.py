@@ -50,11 +50,6 @@ class OctreeAccel:
     # root cube (covers every primitive AABB)
     root_lo: Array          # [3] f32
     root_size: Array        # [] f32
-    # sorted node directory (for inspection/tests; traversal uses the splits).
-    # Keys sort by (level, morton) — kept as two i32 columns because morton
-    # needs only 3*max_depth bits and jax default int is 32-bit.
-    node_morton: Array      # [M] i32
-    node_level: Array       # [M] i32
     # coarse: global prim ids at level <= l_cut, padded with -1
     coarse_ids: Array       # [Nc] i32
     # fine grid CSR at resolution R = 2^max_depth
@@ -67,10 +62,6 @@ class OctreeAccel:
     @property
     def res(self) -> int:
         return 1 << self.max_depth
-
-    @property
-    def n_nodes(self) -> int:
-        return self.node_morton.shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -116,8 +107,20 @@ def covering_levels(lo: np.ndarray, hi: np.ndarray, root_lo: np.ndarray,
 
 
 def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
-                 l_cut: int | None = None) -> OctreeAccel:
-    """Build the flat octree over a scene's primitive AABBs."""
+                 l_cut: int | None = None,
+                 like: "OctreeAccel | None" = None) -> OctreeAccel:
+    """Build the flat octree over a scene's primitive AABBs.
+
+    ``like`` pins the output to a previous accel's array shapes (CSR id
+    capacity, coarse capacity, per-cell bound) so an optimization loop can
+    rebuild the accel as geometry leaves move WITHOUT changing jit cache
+    keys (the staleness policy of optim/fit: rebuild every
+    ``FitConfig.accel_every`` steps; raises if the new build exceeds the
+    pinned capacity — grow by rebuilding without ``like``). The reference
+    instead *mutates* nodes as entities move (entity.ts:50-56,
+    octree_entity.ts:92-171); rebuild-over-mutate is the static-shape
+    equivalent (SURVEY.md §2 #12).
+    """
     from ..models.scene import prim_aabbs
 
     cfg = cfg or OctreeConfig()
@@ -131,8 +134,6 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
     if P == 0:
         return OctreeAccel(
             root_lo=jnp.zeros(3, jnp.float32), root_size=jnp.ones((), jnp.float32),
-            node_morton=jnp.zeros((0,), jnp.int32),
-            node_level=jnp.zeros((0,), jnp.int32),
             coarse_ids=jnp.full((1,), -1, jnp.int32),
             cell_offsets=jnp.zeros((R ** 3 + 1,), jnp.int32),
             cell_ids=jnp.zeros((0,), jnp.int32),
@@ -160,10 +161,6 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
     inside = np.all(lo >= root_lo - 1e-6 * size, axis=1) & np.all(
         hi <= root_lo + size * (1 + 1e-6), axis=1)
     level = np.where(small & inside, level, 0)   # outliers -> coarse (root)
-    key = (level << (3 * L)) | _morton3(cell[:, 0], cell[:, 1], cell[:, 2], L)
-    node_key = np.unique(key)
-    node_level = (node_key >> (3 * L)).astype(np.int32)
-    node_morton = (node_key & ((1 << (3 * L)) - 1)).astype(np.int32)
 
     # Split: the fine-grid scatter is *overlap*-based, so a small entity that
     # merely straddles a high-level split plane (covering level <= l_cut)
@@ -196,15 +193,66 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
     if max_per_cell > scene.n_prims:
         raise ValueError("octree cell overflow")      # TreeGrowError analogue
 
+    if like is not None:
+        if (cell_ids.size > like.cell_ids.shape[0]
+                or coarse.size > like.coarse_ids.shape[0]
+                or max_per_cell > like.max_per_cell
+                or L != like.max_depth):
+            raise ValueError(
+                "octree rebuild exceeds pinned capacity "
+                f"(ids {cell_ids.size}>{like.cell_ids.shape[0]} or coarse "
+                f"{coarse.size}>{like.coarse_ids.shape[0]} or per-cell "
+                f"{max_per_cell}>{like.max_per_cell}); rebuild without "
+                "like= and re-jit")
+        cell_ids = np.concatenate(
+            [cell_ids, np.zeros(like.cell_ids.shape[0] - cell_ids.size,
+                                cell_ids.dtype)])     # never indexed
+        coarse = np.concatenate(
+            [coarse, np.full(like.coarse_ids.shape[0] - coarse.size, -1,
+                             coarse.dtype)])
+        max_per_cell = like.max_per_cell
+
     return OctreeAccel(
         root_lo=jnp.asarray(root_lo, jnp.float32),
         root_size=jnp.asarray(size, jnp.float32),
-        node_morton=jnp.asarray(node_morton),
-        node_level=jnp.asarray(node_level),
         coarse_ids=jnp.asarray(coarse),
         cell_offsets=jnp.asarray(offsets, jnp.int32),
         cell_ids=jnp.asarray(cell_ids),
         max_depth=L, l_cut=l_cut, max_per_cell=max(1, max_per_cell))
+
+
+def build_node_directory(scene: Scene, cfg: OctreeConfig | None = None
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Sorted (level, Morton) covering-node directory -> (levels, mortons).
+
+    Host-side build product for inspection and the reference-walker parity
+    API (:func:`walk_nodes`). Deliberately NOT part of :class:`OctreeAccel`:
+    traversal never reads it, and dead structure in the hot-path pytree is
+    cost without capability (it used to ride every jit invocation).
+    """
+    from ..models.scene import prim_aabbs
+
+    cfg = cfg or OctreeConfig()
+    lo, hi = (np.asarray(a, np.float64) for a in prim_aabbs(scene))
+    if lo.shape[0] == 0:
+        return np.zeros((0,), np.int32), np.zeros((0,), np.int32)
+    L = int(cfg.max_depth)
+    accel = build_octree(scene, cfg)
+    root_lo = np.asarray(accel.root_lo, np.float64)
+    size = float(accel.root_size)
+    level, cell = covering_levels(lo, hi, root_lo, size, L)
+    inside = np.all(lo >= root_lo - 1e-6 * size, axis=1) & np.all(
+        hi <= root_lo + size * (1 + 1e-6), axis=1)
+    extent = (hi - lo).max(axis=1)
+    med = np.median(extent)
+    small = extent <= 8.0 * med + 1e-12
+    if not small.any():
+        small = np.ones_like(small)
+    level = np.where(small & inside, level, 0)
+    key = (level << (3 * L)) | _morton3(cell[:, 0], cell[:, 1], cell[:, 2], L)
+    node_key = np.unique(key)
+    return ((node_key >> (3 * L)).astype(np.int32),
+            (node_key & ((1 << (3 * L)) - 1)).astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -419,19 +467,22 @@ def nearest_hit_octree(scene: Scene, accel: OctreeAccel, org: Array,
     return t_best, pid_best
 
 
-def walk_nodes(accel: OctreeAccel, org, dir, max_steps: int | None = None):
+def walk_nodes(accel: OctreeAccel, directory, org, dir,
+               max_steps: int | None = None):
     """Occupied-node itinerary of one ray, near -> far (host-side, tests).
 
-    Emits ``(level, (cx, cy, cz))`` stops in the order the reference walker
-    yields them (test/octree-space-walker.test.ts:38-71): when the ray first
-    enters any descendant of an occupied node, the node is emitted —
-    ancestors before descendants, near before far, each node once.
+    ``directory`` is the (levels, mortons) pair from
+    :func:`build_node_directory`. Emits ``(level, (cx, cy, cz))`` stops in
+    the order the reference walker yields them
+    (test/octree-space-walker.test.ts:38-71): when the ray first enters any
+    descendant of an occupied node, the node is emitted — ancestors before
+    descendants, near before far, each node once.
     """
     import numpy as np
 
     L = accel.max_depth
-    keys = {(int(l), int(m)) for l, m in
-            zip(np.asarray(accel.node_level), np.asarray(accel.node_morton))}
+    levels, mortons = directory
+    keys = {(int(l), int(m)) for l, m in zip(levels, mortons)}
     seen = set()
     out = []
     for cell in walk_cells(accel, org, dir, max_steps):

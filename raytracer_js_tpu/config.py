@@ -83,12 +83,17 @@ class HitBackend(enum.Enum):
       bounces); restricted scene class (solid textures/sky, no
       transmission/roughness — kernels/trace_fused.supports), forward-only
       (no VJP); falls back to BRUTE when unsupported.
+    * ``TILED`` — per-tile candidate-list Pallas kernel with divergent-
+      bounce packet re-binning (render_tiled) — the big-scene (100k+ prim)
+      frame path; same restricted class as FUSED, forward-only; falls back
+      to BRUTE when unsupported.
     """
 
     BRUTE = "brute"
     OCTREE = "octree"
     PALLAS = "pallas"
     FUSED = "fused"
+    TILED = "tiled"
 
 
 # Epsilon the reference advances a respawned ray by to escape the previous

@@ -97,6 +97,47 @@ def build_demo_scene(seed: int = RANDOM_SEED, entities: int = 16):
     return b.build()
 
 
+def run_orbit(args, scene, cam, cfg, tone, meter, key) -> int:
+    """Camera-path ("orbit") mode — the batch analogue of the reference's
+    interactive loop (main.ts:254-339): per pose, apply a move + rotate to
+    the camera (camera.ts:162-188, :90-152), RESET the exposure buffer (any
+    motion restarts accumulation, exposure_buffer.ts:63-66 via
+    main.ts:266-330), then re-accumulate ``--frames`` progressive frames
+    and write the tone-mapped pose image.
+    """
+    import jax
+
+    from .models import camera as cam_mod
+    from .render import render_hdr
+
+    base, ext = (args.out.rsplit(".", 1) + ["png"])[:2]
+    buf = ex.new_exposure_buffer(args.size, args.size)
+    step_h = 2.0 * np.pi / args.orbit
+    outs = []
+    for pose in range(args.orbit):
+        if pose:
+            # strafe + yaw so the camera circles its view center — each
+            # motion is the WASD/mouse update the PlayerInterface applies
+            cam = cam_mod.move_xy_forward(cam, 0.15 * np.sin(step_h))
+            cam = cam_mod.rotate_h(cam, step_h * 0.1)
+            cam = cam_mod.rotate_v(cam, 0.02 * np.cos(pose), lock=True)
+            buf = ex.reset(buf)         # motion -> restart accumulation
+        assert int(buf.frame_count) == 0
+        for f in range(args.frames):
+            with meter.frame(args.size * args.size):
+                frame = jax.block_until_ready(render_hdr(
+                    scene, cam, cfg,
+                    key=jax.random.fold_in(key, pose * args.frames + f)))
+            buf = ex.accumulate(buf, frame)
+        assert int(buf.frame_count) == args.frames
+        outs.append(write_png(f"{base}_{pose:03d}.{ext}",
+                              np.asarray(draw(buf, tone))))
+    print(f"wrote {len(outs)} poses ({outs[0]} .. {outs[-1]})  "
+          f"{args.size}x{args.size}  frames/pose={args.frames}  "
+          f"{meter.rays_per_s / 1e6:.2f} M rays/s")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--seed", type=int, default=RANDOM_SEED,
@@ -110,6 +151,12 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="demo.png")
     ap.add_argument("--tonemap", default="identity",
                     choices=["identity", "stddev", "absdev"])
+    ap.add_argument("--orbit", type=int, default=0, metavar="N",
+                    help="camera-path mode: N poses orbiting the scene; "
+                    "each motion resets the exposure buffer and each pose "
+                    "re-accumulates --frames frames (the PlayerInterface "
+                    "move/rotate -> reset_exposure -> tick workflow, "
+                    "main.ts:254-330, as a batch path)")
     args = ap.parse_args(argv)
 
     import jax
@@ -129,6 +176,10 @@ def main(argv=None) -> int:
     meter = RayMeter()
     buf = ex.new_exposure_buffer(args.size, args.size)
     key = jax.random.key(args.seed)
+
+    if args.orbit:
+        return run_orbit(args, scene, cam, cfg, tone, meter, key)
+
     for f in range(args.frames):
         with meter.frame(args.size * args.size):
             frame = jax.block_until_ready(

@@ -35,6 +35,16 @@ class FitConfig:
     #: with the same ckpt_dir resumes from the newest snapshot.
     save_every: int = 0
     ckpt_dir: str | None = None
+    #: accel staleness policy for the OCTREE backend: rebuild the octree
+    #: from the CURRENT geometry every N steps (0 = never; the accel then
+    #: goes stale as leaves move — the nearest-hit search may pick a wrong
+    #: primitive near moved geometry, though gradients stay well-defined
+    #: through the analytic surface recompute). Rebuilds are host-side and
+    #: shape-pinned (accel/octree.build_octree ``like=``) so jit caches
+    #: survive. Measured pinned-rebuild cost at depth 8 (native scenekit
+    #: CSR): ~2.4 s at 100k prims, ~8.3 s at 1M prims — dominated by the
+    #: 16.7M-cell offsets pass, so amortize with accel_every >> 1.
+    accel_every: int = 0
 
 
 @dataclasses.dataclass
@@ -52,7 +62,7 @@ def _make_opt(cfg: FitConfig):
 
 
 def multiview_loss(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
-                   targets: Array, key: Array) -> Array:
+                   targets: Array, key: Array, accel=None) -> Array:
     """Mean-squared pixel loss over a view batch.
 
     ``targets`` is [V, h*w, 3] (flattened per view). Views share the scene;
@@ -63,7 +73,7 @@ def multiview_loss(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
     for v, cam in enumerate(cameras):
         org, dirs = pixel_rays(cam)
         rid = jnp.arange(org.shape[0], dtype=jnp.int32) + v * org.shape[0]
-        colors = render_rays(scene, cfg, org, dirs, key, rid)
+        colors = render_rays(scene, cfg, org, dirs, key, rid, accel=accel)
         total = total + jnp.sum((colors - targets[v]) ** 2)
         n_pix += org.shape[0]
     return total / n_pix
@@ -73,13 +83,18 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
         targets: Array, fit_cfg: FitConfig = FitConfig(),
         key: Optional[Array] = None,
         trainable: Optional[Callable[[int, Array], bool]] = None,
-        mesh=None) -> FitResult:
+        mesh=None, accel=None) -> FitResult:
     """Optimize the scene's float leaves to match ``targets``.
 
     ``trainable(i, leaf)`` masks which float leaves receive updates (by
     zeroing their gradients) — e.g. train texture colors only. With ``mesh``
     the per-step gradient runs ray-sharded with an implicit psum (see
     parallel/sharding.sharded_fit_step notes).
+
+    ``accel`` (OCTREE backend) follows the ``FitConfig.accel_every``
+    staleness policy: rebuilt host-side from the current geometry every N
+    steps with shapes pinned to the initial build, so the step stays
+    jit-cached across rebuilds.
     """
     if key is None:
         key = jax.random.key(0)
@@ -87,11 +102,12 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
     opt = _make_opt(fit_cfg)
     opt_state = opt.init(params)
 
-    def loss_fn(params, key):
-        return multiview_loss(rebuild(params), cfg, cameras, targets, key)
+    def loss_fn(params, key, accel):
+        return multiview_loss(rebuild(params), cfg, cameras, targets, key,
+                              accel=accel)
 
     if mesh is None:
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
     else:
         from jax.sharding import PartitionSpec as P
 
@@ -122,7 +138,8 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
         fn = shard_map(sharded, mesh=mesh,
                        in_specs=(P(), P(None, RAY_AXIS), P()),
                        out_specs=(P(), P()))
-        grad_fn = jax.jit(lambda p, k: fn(p, targets, k))
+        # the sharded path uses the dense search (accel unused)
+        grad_fn = jax.jit(lambda p, k, accel=None: fn(p, targets, k))
 
     start_step = 0
     if fit_cfg.ckpt_dir:
@@ -135,8 +152,17 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
 
     losses = []
     for step in range(start_step, fit_cfg.steps):
+        if (accel is not None and fit_cfg.accel_every
+                and step > start_step
+                and (step - start_step) % fit_cfg.accel_every == 0):
+            from ..accel.octree import build_octree
+            from ..config import OctreeConfig
+
+            accel = build_octree(
+                rebuild(params), OctreeConfig(max_depth=accel.max_depth),
+                l_cut=accel.l_cut, like=accel)
         k = jax.random.fold_in(key, step)
-        loss, grads = grad_fn(params, k)
+        loss, grads = grad_fn(params, k, accel)
         if trainable is not None:
             grads = [g if trainable(i, p) else jnp.zeros_like(g)
                      for i, (g, p) in enumerate(zip(grads, params))]

@@ -41,6 +41,10 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     """
     from .config import HitBackend
 
+    if cfg.backend == HitBackend.TILED:
+        # the tiled path is frame-shaped (render_hdr); arbitrary wavefronts
+        # use the dense search
+        cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
     if cfg.backend == HitBackend.FUSED:
         from .kernels import trace_fused
 
@@ -70,12 +74,25 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
 
 
 def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
-               key: Optional[Array] = None, accel=None) -> Array:
-    """Full-frame HDR render -> [h, w, 3] float32 (linear, pre-tone-map)."""
+               key: Optional[Array] = None, accel=None,
+               tables=None) -> Array:
+    """Full-frame HDR render -> [h, w, 3] float32 (linear, pre-tone-map).
+
+    ``tables`` — optional cached per-tile candidate tables for the TILED
+    backend (render_tiled.frame_tables); without them the tables are built
+    host-side from the concrete scene (fails under jit — precompute and
+    pass them in when jitting over the scene).
+    """
     from .config import HitBackend
 
     if key is None:
         key = jax.random.key(0)
+    if cfg.backend == HitBackend.TILED:
+        from . import render_tiled as rtl
+
+        if rtl.supports(scene):
+            return rtl.render_frame_tiled(scene, cfg, camera, tables=tables)
+        cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
     if cfg.backend == HitBackend.FUSED:
         from .kernels import trace_fused
 

@@ -68,3 +68,51 @@ def test_fit_sharded_matches_unsharded_first_step():
                   key=key, mesh=make_mesh())
     np.testing.assert_allclose(r_plain.losses, r_shard.losses,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_fit_accel_rebuild_policy():
+    """OCTREE-backend fit with accel_every: the octree is rebuilt from the
+    moving geometry with pinned shapes (no recompile), and optimizing
+    geometry still converges (VERDICT r1 next-step 7)."""
+    from raytracer_js_tpu.accel.octree import build_octree, nearest_hit_octree
+    from raytracer_js_tpu.config import HitBackend, OctreeConfig
+    from raytracer_js_tpu.ops.trace import nearest_hit_brute
+
+    cfg = RenderConfig(refmax=1, backend=HitBackend.OCTREE)
+    cams = [make_camera((0, 0, 0), 16, 16, np.pi / 2, np.pi / 2)]
+    key = jax.random.key(3)
+
+    def scene_at(y):
+        # emissive sphere: the ISL factor 1/(eps + (t*A)^2) carries the
+        # continuous center -> pixel gradient (a diffuse solid-texture hit
+        # has no continuous dependence on geometry at all)
+        b = SceneBuilder()
+        b.set_sky(b.add_solid_texture((0.2, 0.2, 0.2)))
+        m = b.add_material(ResponseType.REFLECTION, light=True)
+        b.add_sphere((4.0, y, 0.0), 2.5, m,
+                     b.add_solid_texture((0.9, 0.2, 0.1)))
+        return b.build()
+
+    true_scene = scene_at(0.0)
+    targets = _targets(true_scene, cams, cfg, key)
+    start = scene_at(0.8)                       # wrong sphere position
+    ocfg = OctreeConfig(max_depth=3)
+    accel = build_octree(start, ocfg)
+
+    center_shape = start.sphere_center.shape
+    res = fit(start, cfg, cams, targets,
+              FitConfig(steps=60, lr=3e-2, accel_every=2), key=key,
+              trainable=lambda i, p: p.shape == center_shape,
+              accel=accel)
+    assert res.losses[-1] < res.losses[0] * 0.5, res.losses[::10]
+    got_y = float(res.scene.sphere_center[0, 1])
+    assert abs(got_y) < abs(0.8) * 0.6, got_y
+
+    # the final accel (rebuilt, pinned shapes) agrees with brute on the
+    # final geometry
+    final_accel = build_octree(res.scene, ocfg, like=accel)
+    org = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (8, 1))
+    t_o, p_o = nearest_hit_octree(res.scene, final_accel, org, d)
+    t_b, p_b = nearest_hit_brute(res.scene, org, d)
+    np.testing.assert_allclose(np.asarray(t_o), np.asarray(t_b), rtol=1e-5)

@@ -239,7 +239,8 @@ def test_walk_nodes_ancestors_before_children():
     """Interior nodes are emitted before their pierced children, near->far
     (the two-level itinerary property, test/octree-space-walker.test.ts:38-71)."""
     from raytracer_js_tpu import ResponseType, SceneBuilder
-    from raytracer_js_tpu.accel.octree import build_octree, walk_nodes
+    from raytracer_js_tpu.accel.octree import (build_node_directory,
+                                               build_octree, walk_nodes)
 
     b = SceneBuilder()
     b.set_sky(b.add_solid_texture((0, 0, 0)))
@@ -254,7 +255,8 @@ def test_walk_nodes_ancestors_before_children():
 
     d = np.ones(3) / np.sqrt(3)
     start = np.asarray(accel.root_lo) + 1e-5
-    stops = walk_nodes(accel, start, d)
+    directory = build_node_directory(scene, OctreeConfig(max_depth=2))
+    stops = walk_nodes(accel, directory, start, d)
     assert stops, "no stops emitted"
     levels = {s[0] for s in stops}
     assert 0 in levels and 2 in levels
