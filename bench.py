@@ -198,7 +198,12 @@ def run_config(args):
         accel = None
     elif n == 3:
         scene, (w, h) = build_config3_scene(), (512, 512)
-        cfg = RenderConfig(refmax=3, backend=HitBackend.PALLAS)
+        # TILED: per-tile candidate kernel; image textures/sky sampled by
+        # the XLA glue from in-kernel uv. --c3-backend pallas for the old
+        # wavefront path.
+        backend = (HitBackend.PALLAS if args.c3_backend == "pallas"
+                   else HitBackend.TILED)
+        cfg = RenderConfig(refmax=3, backend=backend)
         accel = None
         detail["n_tris"] = scene.n_tris
     elif n == 4:
@@ -316,6 +321,8 @@ def main():
     ap.add_argument("--config", type=int, default=0,
                     help="run BASELINE.md config N (1..5) instead")
     ap.add_argument("--c4-prims", type=int, default=100_000)
+    ap.add_argument("--c3-backend", default="tiled",
+                    choices=["tiled", "pallas"])
     ap.add_argument("--c4-backend", default="tiled",
                     choices=["tiled", "octree"])
     ap.add_argument("--c5-prims", type=int, default=1_000_000)

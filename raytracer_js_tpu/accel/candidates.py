@@ -109,10 +109,20 @@ def cone_include_np(centers: np.ndarray, radii: np.ndarray, o0: np.ndarray,
 
 
 def _shade_cols_np(scene: Scene, pid: np.ndarray) -> np.ndarray:
-    """rgb + response-mode columns for prim ids -> [n, 4] f32."""
+    """rgb + response-mode columns for prim ids -> [n, 4] f32.
+
+    IMAGE-textured prims get rgb = 1 (identity): the kernel multiplies the
+    packed rgb in-place and the XLA glue multiplies the sampled atlas color
+    afterwards (render_tiled applies it to image-kind winners only).
+    """
+    from ..config import TextureKind
+
     safe = np.clip(pid, 0, max(scene.n_prims - 1, 0))
-    rgb = np.asarray(scene.textures.solid_rgb)[
-        np.asarray(scene.prim_texture)[safe]]
+    tex_id = np.asarray(scene.prim_texture)[safe]
+    rgb = np.asarray(scene.textures.solid_rgb)[tex_id]
+    is_img = (np.asarray(scene.textures.kind)[tex_id]
+              == int(TextureKind.IMAGE))
+    rgb = np.where(is_img[:, None], 1.0, rgb)
     mat_id = np.asarray(scene.prim_material)[safe]
     mat = scene.materials
     light = np.asarray(mat.light)[mat_id]
@@ -367,8 +377,13 @@ def pack_candidate_attrs_jnp(scene: Scene, pid: Array, t_lo: Array) -> Array:
     out = jnp.zeros((n, N_ATTR), jnp.float32)
     out = out.at[:, 0].set(jnp.where(pid >= 0, t_lo, jnp.inf))
     out = out.at[:, 1].set(jnp.maximum(pid, 0).astype(jnp.float32))
+    from ..config import TextureKind
+
     safe = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
-    rgb = scene.textures.solid_rgb[scene.prim_texture[safe]]
+    tex_id = scene.prim_texture[safe]
+    rgb = scene.textures.solid_rgb[tex_id]
+    is_img = scene.textures.kind[tex_id] == int(TextureKind.IMAGE)
+    rgb = jnp.where(is_img[:, None], 1.0, rgb)   # identity: XLA glue samples
     mat_id = scene.prim_material[safe]
     mat = scene.materials
     light = mat.light[mat_id]

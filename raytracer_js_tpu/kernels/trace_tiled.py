@@ -72,13 +72,22 @@ def _safe_inv(d):
 
 def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
                  ox, oy, oz, dx, dy, dz, col_r, col_g, col_b,
-                 path, status, sky_r, sky_g, sky_b):
+                 path, status, sky_r, sky_g, sky_b,
+                 want_uv=False, sky_solid=True):
     """One traverse->intersect->shade->respawn pass over one ray tile.
 
     ``tab`` is the tile's [c_max, N_ATTR] candidate ref (see
     accel/candidates for the column layout); ``cnt_*`` are the scalar
     per-type candidate counts; ray state is (TILE_SUB, LANE)-shaped. Returns
-    the updated state tuple plus (t_best, pid) for tests.
+    the updated state tuple plus (t_best, pid, u, v).
+
+    ``want_uv`` (static) computes the winner's texture coordinates (sphere
+    equirect uv_mapping.ts:19-25, box 6:1 face layout
+    ops/intersect.box_surface, triangle barycentric) for the XLA glue's
+    image-texture sampling; image-textured candidates carry rgb = 1 so the
+    in-kernel modulation is the identity for them. ``sky_solid=False``
+    (static) skips the in-kernel miss modulation — the glue applies the
+    (possibly image) sky instead.
     """
     shape = dx.shape
     alive = status == _ALIVE
@@ -199,7 +208,7 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
     one = jnp.ones(shape, jnp.float32)
     st0 = dict(wr=one, wg=one, wb=one, wm=zero, pid=jnp.full(
         shape, -1, jnp.int32), g0=zero, g1=zero, g2=zero, g3=zero,
-        g4=zero, g5=zero)
+        g4=zero, g5=zero, g6=zero, g7=zero, g8=zero)
 
     def pick_segment(base, cnt, geo_cols, st):
         end = base + cnt
@@ -235,17 +244,19 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
             (st, (cnt > 0) & jnp.any((jwin >= base) & (jwin < end))))
         return st
 
-    # sphere winners: center + 1/r; box winners: center + half; tri: normal
+    # sphere winners: center + 1/r; box winners: center + half;
+    # tri winners: v0, e1, e2 (normal and barycentric uv recomputed once)
     s_st = pick_segment(0, cnt_s, (2, 3, 4, 6), st0)
     is_sph = (jwin >= 0) & (jwin < cnt_s)
     b_st = pick_segment(cnt_s, cnt_b, (2, 3, 4, 5, 6, 7), s_st)
     is_box = (jwin >= cnt_s) & (jwin < cnt_s + cnt_b)
-    t_st = pick_segment(cnt_s + cnt_b, cnt_t, (11, 12, 13), b_st)
+    t_st = pick_segment(cnt_s + cnt_b, cnt_t,
+                        (2, 3, 4, 5, 6, 7, 8, 9, 10), b_st)
     is_tri = jwin >= cnt_s + cnt_b
     wr, wg, wb, w_mode, pid = (t_st["wr"], t_st["wg"], t_st["wb"],
                                t_st["wm"], t_st["pid"])
 
-    # ---- winner normal, once per bounce ----------------------------------
+    # ---- winner normal (+ optional uv), once per bounce ------------------
     t_fin = jnp.where(t_best < _INF, t_best, 0.0)
     hx_ = ox + t_fin * dx
     hy_ = oy + t_fin * dy
@@ -254,6 +265,16 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
     nx = (hx_ - t_st["g0"]) * t_st["g3"]
     ny = (hy_ - t_st["g1"]) * t_st["g3"]
     nz = (hz_ - t_st["g2"]) * t_st["g3"]
+    if want_uv:
+        # sphere equirect uv from the UNFLIPPED (hit-c)/r direction
+        # (entity_sphere.ts:98-101 -> uv_mapping.ts:19-25)
+        eps_uv = 2.0 ** -52
+        u_out = (jnp.arctan2(ny, nx) / (2.0 * np.pi) + 0.5 - eps_uv)
+        v_out = (jnp.arctan2(nz, jnp.sqrt(nx * nx + ny * ny)) / np.pi
+                 + 0.5 - eps_uv)
+    else:
+        u_out = zero
+        v_out = zero
     # box: winning slab axis -> face normal (ops/intersect.box_surface
     # x > y > z tie order); boolean logic only (no i1-vector selects)
     bcx, bcy, bcz = t_st["g0"], t_st["g1"], t_st["g2"]
@@ -279,10 +300,47 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
     nx = jnp.where(is_box, jnp.where(wx, sxn, 0.0), nx)
     ny = jnp.where(is_box, jnp.where(wy, syn, 0.0), ny)
     nz = jnp.where(is_box, jnp.where(wz, szn, 0.0), nz)
-    # tri: packed unit geometric normal (sphere g-slots reused: see pick)
-    nx = jnp.where(is_tri, t_st["g0"], nx)
-    ny = jnp.where(is_tri, t_st["g1"], ny)
-    nz = jnp.where(is_tri, t_st["g2"], nz)
+    if want_uv:
+        # box 6:1 face layout (ops/intersect.box_surface; the reference
+        # declares-but-stubs this, entity_box.ts:104-107)
+        axis = jnp.where(wx, 0, jnp.where(wy, 1, 2))
+        sgn = jnp.where(wx, sxn, jnp.where(wy, syn, szn))   # = -sign(d_ax)
+        outward = jnp.where(entering, sgn, -sgn)
+        face = (axis * 2 + (outward > 0.0).astype(jnp.int32)
+                ).astype(jnp.float32)
+        clip_hi = 1.0 - 2.0 ** -23
+        rx = jnp.clip((hx_ - (bcx - bhx)) / (2.0 * bhx), 0.0, clip_hi)
+        ry = jnp.clip((hy_ - (bcy - bhy)) / (2.0 * bhy), 0.0, clip_hi)
+        rz = jnp.clip((hz_ - (bcz - bhz)) / (2.0 * bhz), 0.0, clip_hi)
+        u_loc = jnp.where(axis == 0, ry, rx)
+        v_loc = jnp.where(axis == 2, ry, rz)
+        u_out = jnp.where(is_box, (face + u_loc) / 6.0, u_out)
+        v_out = jnp.where(is_box, v_loc, v_out)
+    # tri: recompute geometric normal + barycentric uv from the winner's
+    # (v0, e1, e2) — once per bounce, not per candidate
+    e1x, e1y, e1z = t_st["g3"], t_st["g4"], t_st["g5"]
+    e2x, e2y, e2z = t_st["g6"], t_st["g7"], t_st["g8"]
+    gx = e1y * e2z - e1z * e2y
+    gy = e1z * e2x - e1x * e2z
+    gz = e1x * e2y - e1y * e2x
+    g_inv = 1.0 / jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-40))
+    nx = jnp.where(is_tri, gx * g_inv, nx)
+    ny = jnp.where(is_tri, gy * g_inv, ny)
+    nz = jnp.where(is_tri, gz * g_inv, nz)
+    if want_uv:
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < _MT_EPS, _MT_EPS, det)
+        sx_, sy_, sz_ = (ox - t_st["g0"], oy - t_st["g1"], oz - t_st["g2"])
+        bu = (sx_ * px + sy_ * py + sz_ * pz) * inv_det
+        qx = sy_ * e1z - sz_ * e1y
+        qy = sz_ * e1x - sx_ * e1z
+        qz = sx_ * e1y - sy_ * e1x
+        bv = (dx * qx + dy * qy + dz * qz) * inv_det
+        u_out = jnp.where(is_tri, bu, u_out)
+        v_out = jnp.where(is_tri, bv, v_out)
     # flip toward the incoming ray (sphere inside view / tri winding);
     # box face normals already oppose the ray by construction
     do_flip = is_sph | is_tri
@@ -297,9 +355,18 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
     keep = hit & ~lit & ~cont
     miss = alive & (jwin < 0)
 
-    col_r = jnp.where(hit, col_r * wr, jnp.where(miss, col_r * sky_r, col_r))
-    col_g = jnp.where(hit, col_g * wg, jnp.where(miss, col_g * sky_g, col_g))
-    col_b = jnp.where(hit, col_b * wb, jnp.where(miss, col_b * sky_b, col_b))
+    if sky_solid:
+        col_r = jnp.where(hit, col_r * wr,
+                          jnp.where(miss, col_r * sky_r, col_r))
+        col_g = jnp.where(hit, col_g * wg,
+                          jnp.where(miss, col_g * sky_g, col_g))
+        col_b = jnp.where(hit, col_b * wb,
+                          jnp.where(miss, col_b * sky_b, col_b))
+    else:
+        # image sky: the XLA glue modulates newly-MISS lanes instead
+        col_r = jnp.where(hit, col_r * wr, col_r)
+        col_g = jnp.where(hit, col_g * wg, col_g)
+        col_b = jnp.where(hit, col_b * wb, col_b)
     path = jnp.where(hit, path + t_best, path)
     status = jnp.where(lit, _LIGHT,
                        jnp.where(keep, _KEEP,
@@ -317,13 +384,13 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, c_max,
     dz = jnp.where(cont, rdz, dz)
     pid_out = jnp.where(hit, pid, -1)
     return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-            t_best, pid_out)
+            t_best, pid_out, u_out, v_out)
 
 
 def _frame_kernel(cam_ref, cnt_ref, tab_ref,
                   ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                  cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
-                  *, c_max):
+                  cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o, u_o, v_o,
+                  *, c_max, want_uv, sky_solid):
     """Bounce-0 frame entry: rays generated in-register from the camera pose
     (the equiangular closed form of models/camera.pixel_rays, exactly as
     trace_fused._trace_frame_kernel)."""
@@ -358,9 +425,11 @@ def _frame_kernel(cam_ref, cnt_ref, tab_ref,
         jnp.ones(shape, jnp.float32), jnp.ones(shape, jnp.float32),
         jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
         status0,
-        cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18])
+        cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
+        want_uv=want_uv, sky_solid=sky_solid)
     for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o), out):
+                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
+                         u_o, v_o), out):
         ref[:, :] = val
 
 
@@ -368,17 +437,19 @@ def _wave_kernel(cam_ref, cnt_ref, tab_ref,
                  ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
                  cr_i, cg_i, cb_i, path_i, st_i,
                  ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                 cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
-                 *, c_max):
+                 cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o, u_o, v_o,
+                 *, c_max, want_uv, sky_solid):
     """Wavefront entry: one bounce of an arbitrary (packetized) wavefront."""
     row = pl.program_id(0)
     out = _bounce_tile(
         tab_ref, cnt_ref[row, 0], cnt_ref[row, 1], cnt_ref[row, 2], c_max,
         ox_i[:, :], oy_i[:, :], oz_i[:, :], dx_i[:, :], dy_i[:, :],
         dz_i[:, :], cr_i[:, :], cg_i[:, :], cb_i[:, :], path_i[:, :],
-        st_i[:, :], cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18])
+        st_i[:, :], cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
+        want_uv=want_uv, sky_solid=sky_solid)
     for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o), out):
+                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
+                         u_o, v_o), out):
         ref[:, :] = val
 
 
@@ -397,9 +468,12 @@ def _cam_array(cam, sky_rgb) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("nby", "nbx", "c_max",
+                                             "want_uv", "sky_solid",
                                              "interpret"))
-def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, interpret=False):
-    kern = functools.partial(_frame_kernel, c_max=c_max)
+def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, want_uv, sky_solid,
+                interpret=False):
+    kern = functools.partial(_frame_kernel, c_max=c_max, want_uv=want_uv,
+                             sky_solid=sky_solid)
     tile = pl.BlockSpec((TILE_SUB, LANE), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     cam_spec = pl.BlockSpec(cam_arr.shape, lambda i, j: (0, 0),
@@ -416,15 +490,18 @@ def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, interpret=False):
         kern,
         grid=(nby, nbx),
         in_specs=[cam_spec, cnt_spec, tab_spec],
-        out_specs=[tile] * 13,
-        out_shape=[f32] * 10 + [i32, f32, i32],
+        out_specs=[tile] * 15,
+        out_shape=[f32] * 10 + [i32, f32, i32, f32, f32],
         interpret=interpret,
     )(cam_arr, cnts, tab)
 
 
-@functools.partial(jax.jit, static_argnames=("c_max", "interpret"))
-def _wave_call(cam_arr, cnts, tab, cols, c_max, interpret=False):
-    kern = functools.partial(_wave_kernel, c_max=c_max)
+@functools.partial(jax.jit, static_argnames=("c_max", "want_uv",
+                                             "sky_solid", "interpret"))
+def _wave_call(cam_arr, cnts, tab, cols, c_max, want_uv, sky_solid,
+               interpret=False):
+    kern = functools.partial(_wave_kernel, c_max=c_max, want_uv=want_uv,
+                             sky_solid=sky_solid)
     rows = cols[0].shape[0]
     nblk = rows // TILE_SUB
     tile = pl.BlockSpec((TILE_SUB, LANE), lambda i: (i, 0),
@@ -441,37 +518,43 @@ def _wave_call(cam_arr, cnts, tab, cols, c_max, interpret=False):
         kern,
         grid=(nblk,),
         in_specs=[cam_spec, cnt_spec, tab_spec] + [tile] * 11,
-        out_specs=[tile] * 13,
-        out_shape=[f32] * 10 + [i32, f32, i32],
+        out_specs=[tile] * 15,
+        out_shape=[f32] * 10 + [i32, f32, i32, f32, f32],
         interpret=interpret,
     )(cam_arr, cnts, tab, *cols)
+
+
+STATE_NAMES = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
+               "path", "status", "t", "pid", "u", "v")
 
 
 def frame_bounce0(scene, cam, tab, cnts, c_max, interpret=None):
     """Bounce 0 over the whole frame -> dict of [h_pad, w_pad] state arrays.
 
     ``tab``/``cnts`` from accel.candidates.frame_candidates with
-    sub=TILE_SUB, lane=LANE.
+    sub=TILE_SUB, lane=LANE. Scenes with image textures get (u, v) filled
+    and NO in-kernel sky modulation (the glue applies textures + sky).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nbx = -(-cam.w // LANE)
     nby = -(-cam.h // TILE_SUB)
+    has_img = scene.textures.has_images
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     cam_arr = _cam_array(cam, sky_rgb)
     outs = _frame_call(cam_arr, cnts, tab, nby, nbx, c_max,
+                       want_uv=has_img, sky_solid=not has_img,
                        interpret=interpret)
-    names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
-             "path", "status", "t", "pid")
-    return dict(zip(names, outs))
+    return dict(zip(STATE_NAMES, outs))
 
 
 def wave_bounce(scene, cols, tab, cnts, c_max, interpret=None):
     """One bounce of a packetized wavefront. ``cols`` is the 11-tuple
     (ox..dz, cr, cg, cb, path, status) of [rows, 128] arrays; returns the
-    13-tuple including (t, pid)."""
+    15-tuple including (t, pid, u, v)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    has_img = scene.textures.has_images
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     # camera pose slots unused by the wavefront entry; only sky is read
     cam_arr = jnp.concatenate([
@@ -479,4 +562,5 @@ def wave_bounce(scene, cols, tab, cnts, c_max, interpret=None):
         jnp.asarray(sky_rgb, jnp.float32).reshape(3),
         jnp.zeros((TCAM_SLOTS - 19,), jnp.float32)]).reshape(1, TCAM_SLOTS)
     return _wave_call(cam_arr, cnts, tab, tuple(cols), c_max,
+                      want_uv=has_img, sky_solid=not has_img,
                       interpret=interpret)

@@ -31,8 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .accel import candidates as cand
-from .config import JS_EPSILON, RayStatus, RenderConfig
+from .config import JS_EPSILON, RayStatus, RenderConfig, TextureKind
 from .kernels import trace_tiled as tt
+from .models import textures as tex_mod
 from .models.scene import Scene
 
 Array = jnp.ndarray
@@ -42,10 +43,10 @@ PACKET = tt.TILE_SUB * tt.LANE
 
 
 def supports(scene: Scene) -> bool:
-    """Same restricted class as the fused kernel."""
-    from .kernels.trace_fused import supports as fused_supports
-
-    return fused_supports(scene)
+    """Wider than the fused kernel: image textures and image skies are
+    handled (uv computed in-kernel, sampling applied in the XLA glue);
+    transmission and roughness still route to the wavefront path."""
+    return not scene.has_transmission and not scene.has_rough
 
 
 def frame_tables(scene: Scene, cam):
@@ -67,6 +68,30 @@ def _pos_cell(scene: Scene, org: Array, grid: int = 8) -> Array:
     rel = (org - lo) / jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip((rel * grid).astype(jnp.int32), 0, grid - 1)
     return (q[:, 0] * grid + q[:, 1]) * grid + q[:, 2]
+
+
+def _apply_images(scene: Scene, colors, dirs, status, prev_alive, pid, u, v):
+    """Image-texture + (possibly image) sky modulation for one bounce.
+
+    The kernel multiplies solid colors in-place but leaves image-textured
+    winners at identity (their packed rgb is 1) and skips sky modulation
+    entirely when the scene has images; this glue samples the atlas for
+    image-kind winners and applies the sky to lanes that MISSed this bounce.
+    ``colors`` is a [n, 3] array; all masks are [n].
+    """
+    hit = pid >= 0
+    pid_c = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    tex_id = scene.prim_texture[pid_c]
+    kind = scene.textures.kind[jnp.clip(tex_id, 0,
+                                        scene.textures.kind.shape[0] - 1)]
+    is_img = hit & (kind == int(TextureKind.IMAGE))
+    smp = tex_mod.sample(scene.textures, tex_id, u, v)
+    colors = jnp.where(is_img[:, None], colors * smp, colors)
+    newly_miss = prev_alive & (status == int(RayStatus.MISS))
+    from .ops.trace import sky_color
+
+    sky = sky_color(scene, dirs)
+    return jnp.where(newly_miss[:, None], colors * sky, colors)
 
 
 def packet_bounce(scene: Scene, cols, c_max: int,
@@ -100,6 +125,13 @@ def packet_bounce(scene: Scene, cols, c_max: int,
     outs = tt.wave_bounce(scene, cols_s, tab, cnts, c_max,
                           interpret=interpret)
     new_flat = [o.reshape(-1) for o in outs[:11]]
+    if scene.textures.has_images:
+        colors = jnp.stack(new_flat[6:9], axis=-1)
+        dirs_o = jnp.stack(new_flat[3:6], axis=-1)
+        colors = _apply_images(scene, colors, dirs_o, new_flat[10], alive_s,
+                               outs[12].reshape(-1), outs[13].reshape(-1),
+                               outs[14].reshape(-1))
+        new_flat[6:9] = [colors[:, 0], colors[:, 1], colors[:, 2]]
     unsorted = [jnp.zeros_like(f).at[order].set(f) for f in new_flat]
     return ([u.reshape(rows, tt.LANE) for u in unsorted],
             jnp.sum(overflow.astype(jnp.int32)))
@@ -129,6 +161,21 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         tables = frame_tables(scene, cam)
     tab, cnts, c_max = tables
     st = tt.frame_bounce0(scene, cam, tab, cnts, c_max, interpret=interpret)
+    if scene.textures.has_images:
+        hp, wp = st["cr"].shape
+        flat = {k: st[k].reshape(-1) for k in st}
+        # padding pixels started MISS; everything else was ALIVE
+        xi = jnp.tile(jnp.arange(wp), hp)
+        yi = jnp.repeat(jnp.arange(hp), wp)
+        prev_alive = (xi < cam.w) & (yi < cam.h)
+        colors = jnp.stack([flat["cr"], flat["cg"], flat["cb"]], -1)
+        dirs_o = jnp.stack([flat["dx"], flat["dy"], flat["dz"]], -1)
+        colors = _apply_images(scene, colors, dirs_o, flat["status"],
+                               prev_alive, flat["pid"], flat["u"],
+                               flat["v"])
+        st = dict(st, cr=colors[:, 0].reshape(hp, wp),
+                  cg=colors[:, 1].reshape(hp, wp),
+                  cb=colors[:, 2].reshape(hp, wp))
 
     overflow = jnp.zeros((), jnp.int32)
     names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
