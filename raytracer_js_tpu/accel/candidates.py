@@ -57,6 +57,17 @@ Array = jnp.ndarray
 
 N_ATTR = 20
 
+#: kernel scan-chunk size; every type segment in a packed table starts at a
+#: SEG_ALIGN-multiple row so the kernel's [SEG_ALIGN, N_ATTR] vector block
+#: loads stay aligned (kernels/trace_tiled.CHUNK aliases this)
+import os
+
+SEG_ALIGN = int(os.environ.get("RT_TILE_CHUNK", "16"))
+
+
+def _pad_align(x: int) -> int:
+    return -(-x // SEG_ALIGN) * SEG_ALIGN
+
 
 def bounding_spheres_np(scene: Scene) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side bounding sphere per primitive (global prim order)."""
@@ -178,8 +189,9 @@ def pack_candidate_attrs_np(scene: Scene, pid: np.ndarray, t_lo: np.ndarray
 
 
 def _segment_sort_np(scene: Scene, ids: np.ndarray, t_lo: np.ndarray):
-    """Type-segregate included prim ids, each segment sorted by t_lo ->
-    (ordered ids, ordered t_lo, (cnt_s, cnt_b, cnt_t))."""
+    """Type-segregate included prim ids, each segment sorted by t_lo and
+    padded to a SEG_ALIGN multiple (pid -1 / t_lo inf padding rows) ->
+    (ordered ids, ordered t_lo, (cnt_s, cnt_b, cnt_t) REAL counts)."""
     s_end = scene.n_spheres
     b_end = s_end + scene.n_boxes
     segs, tls, cnts = [], [], []
@@ -188,8 +200,10 @@ def _segment_sort_np(scene: Scene, ids: np.ndarray, t_lo: np.ndarray):
         sid = ids[m]
         stl = t_lo[sid] if sid.size else np.zeros((0,))
         order = np.argsort(stl, kind="stable")
-        segs.append(sid[order])
-        tls.append(stl[order])
+        pad = _pad_align(len(sid)) - len(sid)
+        segs.append(np.concatenate(
+            [sid[order], np.full(pad, -1, sid.dtype if sid.size else np.int64)]))
+        tls.append(np.concatenate([stl[order], np.full(pad, np.inf)]))
         cnts.append(len(sid))
     return (np.concatenate(segs), np.concatenate(tls),
             np.asarray(cnts, np.int32))
@@ -241,9 +255,9 @@ def frame_candidates(scene: Scene, cam, sub: int, lane: int,
             tlos.append(tl)
             cnts.append(cnt)
 
-    maxlen = max((len(l) for l in lists), default=1)
+    maxlen = max((len(l) for l in lists), default=SEG_ALIGN)
     if c_max is None:
-        c_max = max(8, -(-maxlen // 8) * 8)
+        c_max = max(SEG_ALIGN, _pad_align(maxlen))
     elif maxlen > c_max:
         raise ValueError(
             f"tile candidate overflow: {maxlen} > c_max {c_max}; "
@@ -255,9 +269,11 @@ def frame_candidates(scene: Scene, cam, sub: int, lane: int,
         pid[i, :len(l)] = l
         tlo[i, :len(l)] = tl
     tab = pack_candidate_attrs_np(scene, pid.reshape(-1), tlo.reshape(-1))
-    cnt4 = np.zeros((t, 4), np.int32)
-    cnt4[:, :3] = np.stack(cnts)
-    return jnp.asarray(tab), jnp.asarray(cnt4), c_max
+    cnt8 = np.zeros((t, 8), np.float32)
+    cnt8[:, :3] = np.stack(cnts)           # exact below 2^24
+    cnt8[:, 3] = np.inf                    # untruncated: always resolved
+    cnt8[:, 4:7] = pos                     # centroid = camera (d_c = 0)
+    return jnp.asarray(tab), jnp.asarray(cnt8), c_max
 
 
 # ---------------------------------------------------------------------------
@@ -310,16 +326,25 @@ def packet_cones(org: Array, dir: Array, alive: Array, packet: int):
 
 
 def packet_candidates(scene: Scene, org: Array, dir: Array, alive: Array,
-                      packet: int, c_max: int):
+                      packet: int, c_max: int, t_done: Array | None = None):
     """Traced per-packet candidate tables -> (tab [B*c_max, N_ATTR] f32,
-    cnts [B, 4] i32, overflow [B] bool).
+    cnts [B, 4] f32, t_safe [B] f32).
 
     Same contract as :func:`frame_candidates` but computed on device for
     mid-trace ray packets. Wide packets (direction spread beyond the cone
-    identity) conservatively include everything. Packets whose include
-    count exceeds ``c_max`` keep only the nearest ``c_max`` by t_lo and are
-    flagged in ``overflow`` — the caller decides how to resolve them
-    (render_tiled re-traces overflow packets against the full scene).
+    identity) conservatively include everything. When the include count
+    exceeds ``c_max`` only the nearest ``c_max`` by t_lo survive per
+    segment — EXACTNESS IS PRESERVED via the returned resolution bound
+    ``t_safe`` = min t_lo over every dropped candidate (+inf when nothing
+    dropped): a hit is final only if it precedes t_safe, a miss only if the
+    ray leaves the scene bounds before t_safe; unresolved rays are retried
+    with a larger cleared horizon (render_tiled's round loop).
+
+    ``t_done`` [N] is each ray's proven-clear horizon from earlier rounds;
+    candidates entirely inside the packet's common cleared ball
+    (``dist + rr <= min t_done``) are skipped, so retry rounds make strict
+    progress. ``cnts`` packs the three per-type counts as f32 (exact below
+    2^24) with t_safe in column 3 — one SMEM row per packet for the kernel.
     """
     centers, radii = bounding_spheres_jnp(scene)
     o0, ro, axis, cos_t = packet_cones(org, dir, alive, packet)
@@ -335,92 +360,162 @@ def packet_candidates(scene: Scene, org: Array, dir: Array, alive: Array,
                         - sin_a * sin_t[:, None] - 1e-5)
     include = include | (cos_t[:, None] < 0.25)
     include = include & (cos_t[:, None] <= 1.0)    # all-dead packet: none
-    t_lo = jnp.maximum(dist - rr, 0.0)
+    # CENTROID-ANCHORED entry bound (no origin-ball inflation): for a ray
+    # at distance d from o0, a prim's hit param is >= t_lo - d. The kernel
+    # compensates per ray (early exit on t_best + d <= t_lo; resolution
+    # radius tau = t_safe - d), so wide packets still produce useful
+    # bounds for their central rays instead of collapsing to zero.
+    t_lo = jnp.maximum(dist - radii[None], 0.0)
+    if t_done is not None:
+        b = org.shape[0] // packet
+        live = alive.reshape(b, packet)
+        d_c = jnp.linalg.norm(org.reshape(b, packet, 3) - o0[:, None],
+                              axis=-1)
+        # prim provably cleared by EVERY live ray iff
+        # dist0 + r <= min_i (t_done_i - d_i)
+        floor = jnp.min(jnp.where(live,
+                                  t_done.reshape(b, packet) - d_c,
+                                  jnp.inf), axis=1)
+        floor = jnp.where(jnp.isfinite(floor), floor, -jnp.inf)
+        include = include & (dist + radii[None] > floor[:, None])
 
-    # type-segregated sort key: (type segment, excluded, t_lo) ascending
+    # GLOBALLY nearest-first selection (not segment-major): the dropped set
+    # must be the genuinely farthest candidates or t_safe collapses — a
+    # huge straddler (the ground box, bounding-sphere t_lo = 0) dropped by
+    # a per-segment budget would pin t_safe at 0 and stall the rounds.
+    c_sel = c_max - 3 * SEG_ALIGN
+    assert c_sel > 0, c_max
     p = centers.shape[0]
+    c_sel = min(c_sel, p)        # small scenes: keep everything
+    b = include.shape[0]
     pid_all = jnp.arange(p, dtype=jnp.int32)
     s_end = scene.n_spheres
     b_end = s_end + scene.n_boxes
-    seg = jnp.where(pid_all < s_end, 0, jnp.where(pid_all < b_end, 1, 2))
     big = jnp.float32(1e30)
-    key = (seg[None].astype(jnp.float32) * 4e30
-           + jnp.where(include, t_lo, big))
-    order = jnp.argsort(key, axis=1)[:, :c_max]                   # [B, C]
+    key = jnp.where(include, t_lo, big)
+    order_full = jnp.argsort(key, axis=1)
+    order = order_full[:, :c_sel]                                 # [B, Cs]
     pid = jnp.take_along_axis(
         jnp.broadcast_to(pid_all[None], include.shape), order, axis=1)
     inc_sel = jnp.take_along_axis(include, order, axis=1)
     tlo_sel = jnp.take_along_axis(t_lo, order, axis=1)
     pid = jnp.where(inc_sel, pid, -1)
 
-    cnt_seg = jnp.stack(
-        [jnp.sum(include & (seg[None] == k), axis=1) for k in range(3)],
-        axis=1).astype(jnp.int32)                                  # [B, 3]
-    # truncation: per segment, how many of the first c_max selected rows
-    # belong to it (selection is segment-major, nearest-first)
-    csum = jnp.cumsum(cnt_seg, axis=1)
-    kept = jnp.minimum(csum, c_max)
-    kept = jnp.concatenate([kept[:, :1],
-                            kept[:, 1:] - kept[:, :-1]], axis=1)
-    overflow = jnp.sum(cnt_seg, axis=1) > c_max
+    # resolution bound: min t_lo over DROPPED included candidates = the
+    # (c_sel+1)-th nearest (selection is globally nearest-first)
+    if p > c_sel:
+        t_safe = jnp.take_along_axis(key, order_full[:, c_sel:c_sel + 1],
+                                     axis=1)[:, 0]
+        t_safe = jnp.where(t_safe >= big, jnp.inf, t_safe)
+    else:
+        t_safe = jnp.full((b,), jnp.inf, jnp.float32)
+
+    # segment-major re-sort of the SMALL selected slice (stable in t_lo):
+    # spheres | boxes | tris, each nearest-first
+    seg_sel = jnp.where(pid < 0, 3,
+                        jnp.where(pid < s_end, 0,
+                                  jnp.where(pid < b_end, 1, 2)))
+    pos = jnp.broadcast_to(jnp.arange(c_sel, dtype=jnp.int32)[None],
+                           seg_sel.shape)
+    seg_key = seg_sel * (c_sel + 1) + pos
+    _, pid, tlo_sel = jax.lax.sort((seg_key, pid, tlo_sel), num_keys=1)
+    kept = jnp.stack([jnp.sum(seg_sel == k, axis=1) for k in range(3)],
+                     axis=1).astype(jnp.int32)                    # [B, 3]
+    # cols: cnt_s, cnt_b, cnt_t, t_safe, o0 xyz, ro — o0/ro let the kernel
+    # sharpen the bound PER RAY: a dropped prim's hit param for a ray at
+    # distance d from the centroid is >= t_safe + (ro - d), so central rays
+    # of a wide packet still resolve (the thin-tail stall fix)
     cnts = jnp.concatenate(
-        [kept, jnp.zeros((kept.shape[0], 1), jnp.int32)], axis=1)
+        [kept.astype(jnp.float32), t_safe[:, None], o0,
+         ro[:, None]], axis=1)
 
-    tab = pack_candidate_attrs_jnp(scene, pid.reshape(-1),
-                                   tlo_sel.reshape(-1))
-    return tab, cnts, overflow
+    # aligned re-layout: segment k starts at row A_k (SEG_ALIGN multiple)
+    pad = lambda x: ((x + SEG_ALIGN - 1) // SEG_ALIGN) * SEG_ALIGN
+    a1 = pad(kept[:, 0])[:, None]                                 # [B, 1]
+    a2 = (a1[:, 0] + pad(kept[:, 1]))[:, None]
+    r = jnp.arange(c_max, dtype=jnp.int32)[None, :]               # [1, C]
+    seg_r = (r >= a1).astype(jnp.int32) + (r >= a2).astype(jnp.int32)
+    a_seg = jnp.where(seg_r == 0, 0, jnp.where(seg_r == 1, a1, a2))
+    s_seg = jnp.where(seg_r == 0, 0,
+                      jnp.where(seg_r == 1, kept[:, 0:1],
+                                (kept[:, 0] + kept[:, 1])[:, None]))
+    k_seg = jnp.take_along_axis(
+        jnp.concatenate([kept, jnp.zeros((b, 1), kept.dtype)], axis=1),
+        jnp.minimum(seg_r, 3), axis=1)
+    off = r - a_seg
+    valid = off < k_seg
+    src = jnp.clip(s_seg + off, 0, c_sel - 1)
+    pid_out = jnp.where(valid, jnp.take_along_axis(pid, src, axis=1), -1)
+    tlo_out = jnp.where(valid, jnp.take_along_axis(tlo_sel, src, axis=1),
+                        jnp.inf)
+
+    tab = pack_candidate_attrs_jnp(scene, pid_out.reshape(-1),
+                                   tlo_out.reshape(-1))
+    return tab, cnts, t_safe
 
 
-def pack_candidate_attrs_jnp(scene: Scene, pid: Array, t_lo: Array) -> Array:
-    """Traced equivalent of :func:`pack_candidate_attrs_np` (gathers)."""
-    n = pid.shape[0]
-    out = jnp.zeros((n, N_ATTR), jnp.float32)
-    out = out.at[:, 0].set(jnp.where(pid >= 0, t_lo, jnp.inf))
-    out = out.at[:, 1].set(jnp.maximum(pid, 0).astype(jnp.float32))
+def prim_attr_table_jnp(scene: Scene) -> Array:
+    """Per-primitive packed attribute rows -> [P, N_ATTR] f32 (traced).
+
+    Cols 0/1 (t_lo, pid) are filled per candidate by the caller; geometry
+    and shading cols are built once from the scene arrays with NO gathers
+    (pure concatenation in global prim order), so packing a candidate list
+    becomes a single row-gather from this table. XLA CSEs it across the
+    round loop of one jitted frame.
+    """
     from ..config import TextureKind
 
-    safe = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
-    tex_id = scene.prim_texture[safe]
-    rgb = scene.textures.solid_rgb[tex_id]
-    is_img = scene.textures.kind[tex_id] == int(TextureKind.IMAGE)
-    rgb = jnp.where(is_img[:, None], 1.0, rgb)   # identity: XLA glue samples
-    mat_id = scene.prim_material[safe]
+    rgb_all = scene.textures.solid_rgb[scene.prim_texture]
+    is_img = (scene.textures.kind[scene.prim_texture]
+              == int(TextureKind.IMAGE))
+    rgb_all = jnp.where(is_img[:, None], 1.0, rgb_all)  # glue samples atlas
     mat = scene.materials
-    light = mat.light[mat_id]
-    cont = (mat.mirror[mat_id]
-            & (mat.response[mat_id] == int(ResponseType.REFLECTION))
-            & ~light)
-    out = out.at[:, 14:17].set(rgb)
-    out = out.at[:, 17].set(2.0 * light + 1.0 * cont)
+    mid = scene.prim_material
+    light = mat.light[mid]
+    cont = (mat.mirror[mid]
+            & (mat.response[mid] == int(ResponseType.REFLECTION)) & ~light)
+    mode = (2.0 * light + 1.0 * cont)[:, None]
 
-    s_end = scene.n_spheres
-    b_end = s_end + scene.n_boxes
+    geos = []
     if scene.n_spheres:
-        i = jnp.clip(safe, 0, s_end - 1)
-        c = scene.sphere_center[i]
-        r = scene.sphere_radius[i]
-        m = (pid >= 0) & (pid < s_end)
-        geo = jnp.concatenate(
+        c = scene.sphere_center
+        r = scene.sphere_radius
+        geos.append(jnp.concatenate(
             [c, (jnp.sum(c * c, -1) - r * r)[:, None],
              (1.0 / jnp.maximum(r, 1e-20))[:, None],
-             jnp.zeros((n, 7), jnp.float32)], axis=1)
-        out = out.at[:, 2:14].set(jnp.where(m[:, None], geo, out[:, 2:14]))
+             jnp.zeros((scene.n_spheres, 7), jnp.float32)], axis=1))
     if scene.n_boxes:
-        i = jnp.clip(safe - s_end, 0, scene.n_boxes - 1)
-        m = (pid >= s_end) & (pid < b_end)
-        geo = jnp.concatenate(
-            [scene.box_center[i], scene.box_half[i],
-             jnp.zeros((n, 6), jnp.float32)], axis=1)
-        out = out.at[:, 2:14].set(jnp.where(m[:, None], geo, out[:, 2:14]))
+        geos.append(jnp.concatenate(
+            [scene.box_center, scene.box_half,
+             jnp.zeros((scene.n_boxes, 6), jnp.float32)], axis=1))
     if scene.n_tris:
-        i = jnp.clip(safe - b_end, 0, scene.n_tris - 1)
-        m = pid >= b_end
-        v0 = scene.tri_v0[i]
-        e1 = scene.tri_v1[i] - v0
-        e2 = scene.tri_v2[i] - v0
+        v0 = scene.tri_v0
+        e1 = scene.tri_v1 - v0
+        e2 = scene.tri_v2 - v0
         gn = jnp.cross(e1, e2)
         gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True),
                               1e-20)
-        geo = jnp.concatenate([v0, e1, e2, gn], axis=1)
-        out = out.at[:, 2:14].set(jnp.where(m[:, None], geo, out[:, 2:14]))
+        geos.append(jnp.concatenate([v0, e1, e2, gn], axis=1))
+    geo = (jnp.concatenate(geos, axis=0) if geos
+           else jnp.zeros((1, 12), jnp.float32))
+    n_rows = geo.shape[0]
+    zeros2 = jnp.zeros((n_rows, 2), jnp.float32)
+    pad_tail = jnp.zeros((n_rows, N_ATTR - 18), jnp.float32)
+    if not geos:
+        rgb_all = jnp.ones((1, 3), jnp.float32)
+        mode = jnp.zeros((1, 1), jnp.float32)
+    return jnp.concatenate([zeros2, geo, rgb_all, mode, pad_tail], axis=1)
+
+
+def pack_candidate_attrs_jnp(scene: Scene, pid: Array, t_lo: Array,
+                             table: Array | None = None) -> Array:
+    """Traced candidate packing: ONE row-gather from the per-prim table
+    (was ~8 independent gathers per call — the dominant packet-prep cost
+    after the sorts)."""
+    if table is None:
+        table = prim_attr_table_jnp(scene)
+    safe = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    out = table[safe]
+    out = out.at[:, 0].set(jnp.where(pid >= 0, t_lo, jnp.inf))
+    out = out.at[:, 1].set(jnp.maximum(pid, 0).astype(jnp.float32))
     return out

@@ -38,8 +38,8 @@ from .models.scene import Scene
 
 Array = jnp.ndarray
 
-#: packet size — must equal the kernel ray tile
-PACKET = tt.TILE_SUB * tt.LANE
+#: packet size — must equal the wavefront kernel's ray tile
+PACKET = tt.WAVE_SUB * tt.LANE
 
 
 def supports(scene: Scene) -> bool:
@@ -61,10 +61,23 @@ def _dir_bin(d: Array) -> Array:
     return (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]
 
 
-def _pos_cell(scene: Scene, org: Array, grid: int = 8) -> Array:
+def _pos_cell(scene: Scene, org: Array, grid: int = 16) -> Array:
+    """Binning cell over the SMALL-primitive population bounds.
+
+    A single huge straddler (the ground box) must not inflate the binning
+    box: packets would then mix rays from across the whole scene, their
+    origin balls would cover every primitive (t_lo = 0 for everything) and
+    the resolution bound would pin at 0 — the octree root build uses the
+    same robust-extent heuristic (accel/octree.build_octree).
+    """
     centers, radii = cand.bounding_spheres_jnp(scene)
-    lo = jnp.min(centers - radii[:, None], axis=0)
-    hi = jnp.max(centers + radii[:, None], axis=0)
+    med = jnp.median(radii) if radii.shape[0] else jnp.float32(1.0)
+    small = radii <= 8.0 * med + 1e-12
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(small[:, None], centers - radii[:, None], big),
+                 axis=0)
+    hi = jnp.max(jnp.where(small[:, None], centers + radii[:, None], -big),
+                 axis=0)
     rel = (org - lo) / jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip((rel * grid).astype(jnp.int32), 0, grid - 1)
     return (q[:, 0] * grid + q[:, 1]) * grid + q[:, 2]
@@ -94,47 +107,89 @@ def _apply_images(scene: Scene, colors, dirs, status, prev_alive, pid, u, v):
     return jnp.where(newly_miss[:, None], colors * sky, colors)
 
 
-def packet_bounce(scene: Scene, cols, c_max: int,
-                  interpret: Optional[bool] = None):
-    """One divergent bounce: sort into coherent packets, build per-packet
-    candidates on device, advance one bounce, un-sort.
+#: internal status marking rays at the bounce cap so the kernel ignores
+#: them without losing their ALIVE-ness (mapped back after each round)
+_CAP = 7
 
-    ``cols`` = (ox, oy, oz, dx, dy, dz, cr, cg, cb, path, status) as
-    [rows, 128] arrays. Returns (new cols, overflow_packets: i32 scalar —
-    packets whose conservative candidate set exceeded c_max; nonzero means
-    some rays may have missed primitives and the caller should widen c_max).
+
+def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
+                  interpret: Optional[bool] = None):
+    """One ROUND of the divergent-bounce loop: sort active rays into
+    coherent packets, build per-packet candidate tables on device, advance
+    every ray that the candidates can RESOLVE (hit before the packet's
+    t_safe, or proven scene exit), un-sort.
+
+    ``cols`` = (ox..dz, cr, cg, cb, path, status) as [rows, 128] arrays
+    (status may carry the _CAP sentinel — those rays pass through).
+    ``t_done`` [n] is each ray's proven-clear horizon; unresolved rays get
+    it raised to the packet's t_safe so retry rounds make strict progress.
+    Returns (new cols, new t_done, resolved_hit [n] bool).
     """
     rows = cols[0].shape[0]
-    n = rows * tt.LANE
     flat = [c.reshape(-1) for c in cols]
     org = jnp.stack(flat[0:3], axis=-1)
     dirs = jnp.stack(flat[3:6], axis=-1)
     alive = flat[10] == int(RayStatus.ALIVE)
 
-    key = (_pos_cell(scene, org) * 64 + _dir_bin(dirs)).astype(jnp.int32)
-    key = jnp.where(alive, key, jnp.int32(1 << 30))     # dead rays last
-    order = jnp.argsort(key)
-    flat_s = [f[order] for f in flat]
+    # primary key: quantized cleared horizon — stuck rays (t_done > 0) must
+    # cluster together or fresh packet-mates collapse the packet floor to 0
+    # and retry rounds re-select the same candidates forever. Scale from the
+    # SMALL-prim population extent (a huge straddler would flatten the
+    # quantization to one bucket).
+    centers, radii = cand.bounding_spheres_jnp(scene)
+    med = jnp.median(radii) if radii.shape[0] else jnp.float32(1.0)
+    small = radii <= 8.0 * med + 1e-12
+    big_f = jnp.float32(1e30)
+    s_lo = jnp.min(jnp.where(small[:, None], centers - radii[:, None],
+                             big_f), axis=0)
+    s_hi = jnp.max(jnp.where(small[:, None], centers + radii[:, None],
+                             -big_f), axis=0)
+    diag = jnp.linalg.norm(s_hi - s_lo) + 1e-6
+    qt = jnp.clip((t_done / (diag / 16.0)).astype(jnp.int32), 0, 63)
+    key = ((qt * 4096 + _pos_cell(scene, org)) * 64
+           + _dir_bin(dirs)).astype(jnp.int32)
+    key = jnp.where(alive, key, jnp.int32(1 << 30))     # inactive rays last
+    # multi-operand sort MOVES the state with the keys — 8x cheaper than
+    # argsort + 12 permutation gathers (318 ms -> dense bitonic moves)
+    n = flat[0].shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, inv_pos, *flat_s = jax.lax.sort(
+        (key, idx, *flat, t_done), num_keys=1)
+    t_done_s = flat_s[11]
+    flat_s = flat_s[:11]
     org_s = jnp.stack(flat_s[0:3], axis=-1)
     dir_s = jnp.stack(flat_s[3:6], axis=-1)
     alive_s = flat_s[10] == int(RayStatus.ALIVE)
 
-    tab, cnts, overflow = cand.packet_candidates(
-        scene, org_s, dir_s, alive_s, PACKET, c_max)
-    cols_s = [f.reshape(rows, tt.LANE) for f in flat_s]
+    tab, cnts, t_safe = cand.packet_candidates(
+        scene, org_s, dir_s, alive_s, PACKET, c_max, t_done=t_done_s)
+    cols_s = [f.reshape(rows, tt.LANE) for f in flat_s[:11]]
     outs = tt.wave_bounce(scene, cols_s, tab, cnts, c_max,
                           interpret=interpret)
     new_flat = [o.reshape(-1) for o in outs[:11]]
+    pid_o = outs[12].reshape(-1)
     if scene.textures.has_images:
         colors = jnp.stack(new_flat[6:9], axis=-1)
         dirs_o = jnp.stack(new_flat[3:6], axis=-1)
         colors = _apply_images(scene, colors, dirs_o, new_flat[10], alive_s,
-                               outs[12].reshape(-1), outs[13].reshape(-1),
+                               pid_o, outs[13].reshape(-1),
                                outs[14].reshape(-1))
         new_flat[6:9] = [colors[:, 0], colors[:, 1], colors[:, 2]]
-    unsorted = [jnp.zeros_like(f).at[order].set(f) for f in new_flat]
-    return ([u.reshape(rows, tt.LANE) for u in unsorted],
-            jnp.sum(overflow.astype(jnp.int32)))
+    # bookkeeping: a resolved hit reports pid >= 0; an ALIVE ray with
+    # pid < 0 is unresolved (raise its cleared horizon to the PER-RAY
+    # sharpened bound t_safe + max(ro - d_centroid, 0), mirroring the
+    # kernel's resolution test)
+    res_hit = pid_o >= 0
+    unres = alive_s & ~res_hit & (new_flat[10] == int(RayStatus.ALIVE))
+    o0_ray = jnp.repeat(cnts[:, 4:7], PACKET, axis=0)
+    d_c = jnp.linalg.norm(org_s - o0_ray, axis=-1)
+    t_safe_ray = jnp.repeat(t_safe, PACKET) - d_c
+    t_done_s = jnp.where(unres, jnp.maximum(t_done_s, t_safe_ray), t_done_s)
+    new_flat += [t_done_s, res_hit.astype(jnp.int32)]
+    # un-sort by the carried original positions (multi-operand sort again)
+    _, *unsorted = jax.lax.sort((inv_pos, *new_flat), num_keys=1)
+    return ([u.reshape(rows, tt.LANE) for u in unsorted[:11]],
+            unsorted[11], unsorted[12].astype(bool))
 
 
 def _epilogue(cr, cg, cb, path, status, atten):
@@ -147,15 +202,32 @@ def _epilogue(cr, cg, cb, path, status, atten):
     return cr * scale, cg * scale, cb * scale, status
 
 
+#: extra retry rounds beyond refmax-1 for unresolved (truncated-list) rays
+EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "2"))
+#: scenes up to this many prims get a guaranteed-exact FINAL rescue round
+#: with untruncated per-packet lists (t_safe = inf resolves every ray);
+#: bounded by the VMEM footprint of a full [P, N_ATTR] candidate block
+MAX_FULL_RESCUE = int(__import__("os").environ.get("RT_TILED_RESCUE",
+                                                   "6144"))
+
+
 def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                        tables=None, packet_c_max: int = 4096,
                        interpret: Optional[bool] = None,
                        with_diag: bool = False):
     """Full-frame HDR render via the tiled kernel -> [h, w, 3].
 
+    Bounce 0 runs the frame kernel on exact untruncated frustum candidate
+    lists. Later bounces run ``(refmax - 1) + EXTRA_ROUNDS`` rounds of the
+    packetized wavefront: each round advances every ray its (possibly
+    truncated) candidate list can resolve and widens the others' cleared
+    horizon, so a ray consumes one round per bounce plus one per retry.
+    Rays still unresolved when rounds run out keep status ALIVE and fall
+    into the EXHAUST blackout — ``with_diag``'s {"unresolved": i32} counts
+    them (0 == the frame is exact; grow RT_TILED_ROUNDS or packet_c_max
+    otherwise).
+
     ``tables`` — optional cached result of :func:`frame_tables`.
-    ``with_diag`` also returns {"overflow": i32} (packets whose candidate
-    set was truncated; must be 0 for an exact frame).
     """
     if tables is None:
         tables = frame_tables(scene, cam)
@@ -177,17 +249,44 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                   cg=colors[:, 1].reshape(hp, wp),
                   cb=colors[:, 2].reshape(hp, wp))
 
-    overflow = jnp.zeros((), jnp.int32)
     names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
              "path", "status")
+    unresolved = jnp.zeros((), jnp.int32)
     if cfg.refmax > 1:
         h_pad, w_pad = st["cr"].shape
         rows = h_pad * w_pad // tt.LANE
+        n = h_pad * w_pad
         cols = [st[k].reshape(rows, tt.LANE) for k in names]
-        for _ in range(cfg.refmax - 1):
-            cols, ovf = packet_bounce(scene, cols, packet_c_max,
-                                      interpret=interpret)
-            overflow = overflow + ovf
+        # rays continuing out of bounce 0 have spent one bounce
+        bounce = jnp.where(st["status"].reshape(-1)
+                           == int(RayStatus.ALIVE), 1, 0)
+        t_done = jnp.zeros((n,), jnp.float32)
+        from .accel.candidates import SEG_ALIGN, _pad_align
+
+        rounds = [packet_c_max] * (cfg.refmax - 1 + EXTRA_ROUNDS)
+        if scene.n_prims <= MAX_FULL_RESCUE:
+            # guaranteed-exact finale: untruncated lists -> t_safe = inf.
+            # One rescue per remaining bounce (a rescued ray may respawn).
+            full = _pad_align(scene.n_prims) + 3 * SEG_ALIGN
+            rounds += [full] * (cfg.refmax - 1)
+        for c_round in rounds:
+            status_f = cols[10].reshape(-1)
+            capped = ((status_f == int(RayStatus.ALIVE))
+                      & (bounce >= cfg.refmax))
+            status_in = jnp.where(capped, _CAP, status_f)
+            cols[10] = status_in.reshape(rows, tt.LANE)
+            cols, t_done, res_hit = packet_bounce(
+                scene, cols, c_round, t_done, interpret=interpret)
+            status_o = cols[10].reshape(-1)
+            # a resolved hit that continues costs one bounce
+            bounce = bounce + jnp.where(
+                res_hit & (status_o == int(RayStatus.ALIVE)), 1, 0)
+            status_o = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
+                                 status_o)
+            cols[10] = status_o.reshape(rows, tt.LANE)
+        unresolved = jnp.sum(
+            ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
+             & (bounce < cfg.refmax)).astype(jnp.int32))
         st = {k: c.reshape(h_pad, w_pad) for k, c in zip(names, cols)}
 
     cr, cg, cb, _ = _epilogue(st["cr"], st["cg"], st["cb"], st["path"],
@@ -195,5 +294,5 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                               float(cfg.distance_attenuation_factor))
     img = jnp.stack([cr, cg, cb], axis=-1)[:cam.h, :cam.w]
     if with_diag:
-        return img, {"overflow": overflow}
+        return img, {"unresolved": unresolved}
     return img

@@ -78,7 +78,7 @@ def test_render_tiled_matches_brute(refmax):
     want = np.asarray(render_hdr(scene, cam, cfg_b))
     got, diag = render_frame_tiled(scene, cfg_b, cam, with_diag=True)
     got = np.asarray(got)
-    assert int(diag["overflow"]) == 0
+    assert int(diag["unresolved"]) == 0
     mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
     # exact nearest-hit ties may pick a different prim on isolated pixels
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
@@ -141,5 +141,23 @@ def test_render_tiled_partial_tiles():
     want = np.asarray(render_hdr(scene, cam, cfg))
     got = np.asarray(render_frame_tiled(scene, cfg, cam))
     assert got.shape == want.shape
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
+
+
+def test_render_tiled_truncated_packets_resolve_via_rounds():
+    """Tiny packet_c_max forces heavy candidate truncation: the resolution
+    bound keeps every advanced ray exact, retry rounds make progress via
+    the per-ray cleared horizon, and the full-list rescue rounds finish
+    whatever the truncated rounds could not (diag reports 0 left)."""
+    scene = _mixed_scene(120)
+    w, h = 2 * tt.LANE, 2 * tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=3, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got, diag = render_frame_tiled(scene, cfg, cam, packet_c_max=96,
+                                   with_diag=True)
+    got = np.asarray(got)
+    assert int(diag["unresolved"]) == 0
     mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
