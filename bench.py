@@ -234,6 +234,12 @@ def run_config(args):
         fn = jax.jit(lambda s, tb, ct: render_hdr(
             s, cam, cfg, tables=(tb, ct, c_max)))
         fn = functools.partial(fn, tb=tab, ct=cnts)
+        from raytracer_js_tpu.render_tiled import render_frame_tiled
+
+        _, diag = jax.jit(lambda s, tb, ct: render_frame_tiled(
+            s, cfg, cam, tables=(tb, ct, c_max), with_diag=True))(
+                scene, tab, cnts)
+        detail["unresolved"] = int(diag["unresolved"])  # 0 == exact frame
     else:
         fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))
     img = fn(scene)

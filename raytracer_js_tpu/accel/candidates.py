@@ -328,7 +328,7 @@ def packet_cones(org: Array, dir: Array, alive: Array, packet: int):
 def packet_candidates(scene: Scene, org: Array, dir: Array, alive: Array,
                       packet: int, c_max: int, t_done: Array | None = None):
     """Traced per-packet candidate tables -> (tab [B*c_max, N_ATTR] f32,
-    cnts [B, 4] f32, t_safe [B] f32).
+    cnts [B, 8] f32, t_safe [B] f32).
 
     Same contract as :func:`frame_candidates` but computed on device for
     mid-trace ray packets. Wide packets (direction spread beyond the cone
