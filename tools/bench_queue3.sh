@@ -1,0 +1,15 @@
+#!/bin/bash
+# Round-2 v2 re-run (VM rebooted mid-queue2; compile cache cold).
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+OUT=/root/repo/tools/bench_results_r2
+mkdir -p $OUT
+run() {
+  name=$1; shift
+  echo "=== $name start $(date +%T) ===" >> $OUT/queue3.log
+  timeout 5400 python bench.py "$@" > $OUT/$name.json 2> $OUT/$name.err
+  echo "=== $name exit $? $(date +%T) ===" >> $OUT/queue3.log
+}
+run config4_v2 --config 4 --burst 8 --repeats 2
+run config3_v2 --config 3 --burst 16 --repeats 3
+echo "ALL DONE $(date +%T)" >> $OUT/queue3.log
