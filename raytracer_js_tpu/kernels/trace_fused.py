@@ -36,7 +36,7 @@ miss -> color *= sky, MISS; refmax exhaustion -> black EXHAUST.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EPS_ADVANCE, JS_EPSILON, RayStatus, RenderConfig, ResponseType
 from ..models.scene import Scene
+from ..ops import sampling
 import os
 
 from .nearest_hit import SP_LANE, _ray_cols, _row, pack_replicated
@@ -74,10 +75,27 @@ def _unroll(n: int) -> int | bool:
     return n if 0 < n <= 128 else 1
 
 
+class ExtRows(NamedTuple):
+    """Static row indices of the optional prim-table rows (-1 = absent):
+    per-class roughness, and the transmission substance/volume columns."""
+    s_rough: int = -1
+    b_rough: int = -1
+    t_rough: int = -1
+    s_refr: int = -1
+    s_vol: int = -1
+    b_refr: int = -1
+    b_vol: int = -1
+
+
 def supports(scene: Scene) -> bool:
-    """Static eligibility for the fused kernel."""
-    return (not scene.has_transmission and not scene.has_rough
-            and not scene.textures.has_images)
+    """Static eligibility for the fused kernel.
+
+    Transmission (in-kernel containment scan + Snell/TIR) and roughness
+    (in-kernel counter-RNG scatter, ops/sampling) are handled since r2;
+    image textures remain the one exclusion (atlas gathers need dynamic
+    lane indexing Mosaic does not have — those scenes route to TILED/PALLAS).
+    """
+    return not scene.textures.has_images
 
 
 def _trace_core(ox, oy, oz, dx, dy, dz,
@@ -85,7 +103,8 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                 cr_ref, cg_ref, cb_ref, st_ref,
                 *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
                 refmax, atten, use_short, unit_d, has_c0,
-                tab_ref=None, dyn_short=False, tab_row=0):
+                tab_ref=None, dyn_short=False, tab_row=0,
+                ext=(), rid=None, seed=None, refr0=None, refr_def=None):
     """Shared bounce-loop body. ``ox/oy/oz`` may be rank-0 (shared camera
     origin, frame path) or [SUB, LANE] tiles (wavefront path); ``unit_d``
     statically drops the |d|^2 quadratic terms (valid when every incoming
@@ -94,13 +113,24 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
     makes bounce 0's sphere loops run over the per-tile compact id list in
     row ``tab_row`` of ``tab_ref`` (SMEM, full table: one [cnt, id-pairs...]
     row per tile — TPU lowering rejects sub-8-row SMEM blocks, so programs
-    share the whole table and pick their row by scalar index)."""
+    share the whole table and pick their row by scalar index).
+
+    ``ext`` is the static extended-class descriptor from
+    :func:`_pack_prims` — a tuple ``(has_rough, has_trans, row-index...)``
+    gating the roughness-scatter and transmission code paths (compiled out
+    entirely for the restricted class). ``rid`` (global ray-id tile),
+    ``seed`` (uint32 scalar), ``refr0``/``refr_def`` (start / empty-space
+    refractive-index scalars) feed those paths."""
+    has_rough, has_trans = (ext[0], ext[1]) if ext else (False, False)
+    rows_ix = ext[2] if ext else ExtRows()
     shape = dx.shape
     col_r = jnp.ones(shape, jnp.float32)
     col_g = jnp.ones(shape, jnp.float32)
     col_b = jnp.ones(shape, jnp.float32)
     path = jnp.zeros(shape, jnp.float32)
     status = jnp.full(shape, _ALIVE, jnp.int32)
+    refr = (jnp.broadcast_to(refr0, shape).astype(jnp.float32)
+            if has_trans else jnp.zeros(shape, jnp.float32))
     sky_r = sky_ref[0:1, :]
     sky_g = sky_ref[1:2, :]
     sky_b = sky_ref[2:3, :]
@@ -112,9 +142,10 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
 
     blk = pl.program_id(0)
 
-    def _one_bounce(state, short, first):
+    def _one_bounce(state, short, first, b_idx):
         """One traverse->intersect->shade->respawn pass over the tile."""
-        ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status = state
+        (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+         refr) = state
         alive = status == _ALIVE
         if not unit_d:
             a = dx * dx + dy * dy + dz * dz
@@ -271,26 +302,34 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
         # triangle winner normal
         t_nx, t_ny, t_nz = zero, zero, zero
 
+        # winner roughness rides the pick carries only for rough scenes
+        w_rough = zero
+
         def sph_pick(p, acc):
-            wr, wg, wb, wm, cx, cy, cz, ir = acc
+            wr, wg, wb, wm, cx, cy, cz, ir = acc[:8]
             m = pid == p
-            return (jnp.where(m, _row(sph_ref, 5 * s_pad, p), wr),
-                    jnp.where(m, _row(sph_ref, 6 * s_pad, p), wg),
-                    jnp.where(m, _row(sph_ref, 7 * s_pad, p), wb),
-                    jnp.where(m, _row(sph_ref, 8 * s_pad, p), wm),
-                    jnp.where(m, _row(sph_ref, 0, p), cx),
-                    jnp.where(m, _row(sph_ref, s_pad, p), cy),
-                    jnp.where(m, _row(sph_ref, 2 * s_pad, p), cz),
-                    jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
+            out = (jnp.where(m, _row(sph_ref, 5 * s_pad, p), wr),
+                   jnp.where(m, _row(sph_ref, 6 * s_pad, p), wg),
+                   jnp.where(m, _row(sph_ref, 7 * s_pad, p), wb),
+                   jnp.where(m, _row(sph_ref, 8 * s_pad, p), wm),
+                   jnp.where(m, _row(sph_ref, 0, p), cx),
+                   jnp.where(m, _row(sph_ref, s_pad, p), cy),
+                   jnp.where(m, _row(sph_ref, 2 * s_pad, p), cz),
+                   jnp.where(m, _row(sph_ref, 4 * s_pad, p), ir))
+            if has_rough:
+                out += (jnp.where(
+                    m, _row(sph_ref, rows_ix.s_rough * s_pad, p), acc[8]),)
+            return out
 
         sph_pick_acc = (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir)
+        if has_rough:
+            sph_pick_acc += (w_rough,)
         if first and dyn_short:
             # the phase-1 winner is always shortlist-included, so the pick
             # scan may run over the same compact id list
             sph_pick_acc = jax.lax.fori_loop(
                 0, tab_ref[tab_row, 0],
                 lambda j, acc: sph_pick(tab_id(j), acc), sph_pick_acc)
-            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc
         elif short:
             # the phase-1 winner is always mask-included, so the pick scan
             # may skip culled spheres the same way
@@ -299,48 +338,66 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                 sph_pick_acc = jax.lax.cond(
                     bit > 0, lambda acc, p=p: sph_pick(p, acc),
                     lambda acc: acc, sph_pick_acc)
-            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc
         else:
-            (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir
-             ) = jax.lax.fori_loop(0, n_sph, sph_pick, sph_pick_acc,
-                                   unroll=_unroll(n_sph))
+            sph_pick_acc = jax.lax.fori_loop(0, n_sph, sph_pick,
+                                             sph_pick_acc,
+                                             unroll=_unroll(n_sph))
+        (wr, wg, wb, w_mode, s_cx, s_cy, s_cz, s_ir) = sph_pick_acc[:8]
+        if has_rough:
+            w_rough = sph_pick_acc[8]
 
         def box_pick(p, acc):
-            wr, wg, wb, wm, cx, cy, cz, hx, hy, hz = acc
+            wr, wg, wb, wm, cx, cy, cz, hx, hy, hz = acc[:10]
             m = pid == p + n_sph
-            return (jnp.where(m, _row(box_ref, 6 * b_pad, p), wr),
-                    jnp.where(m, _row(box_ref, 7 * b_pad, p), wg),
-                    jnp.where(m, _row(box_ref, 8 * b_pad, p), wb),
-                    jnp.where(m, _row(box_ref, 9 * b_pad, p), wm),
-                    jnp.where(m, _row(box_ref, 0, p), cx),
-                    jnp.where(m, _row(box_ref, b_pad, p), cy),
-                    jnp.where(m, _row(box_ref, 2 * b_pad, p), cz),
-                    jnp.where(m, _row(box_ref, 3 * b_pad, p), hx),
-                    jnp.where(m, _row(box_ref, 4 * b_pad, p), hy),
-                    jnp.where(m, _row(box_ref, 5 * b_pad, p), hz))
+            out = (jnp.where(m, _row(box_ref, 6 * b_pad, p), wr),
+                   jnp.where(m, _row(box_ref, 7 * b_pad, p), wg),
+                   jnp.where(m, _row(box_ref, 8 * b_pad, p), wb),
+                   jnp.where(m, _row(box_ref, 9 * b_pad, p), wm),
+                   jnp.where(m, _row(box_ref, 0, p), cx),
+                   jnp.where(m, _row(box_ref, b_pad, p), cy),
+                   jnp.where(m, _row(box_ref, 2 * b_pad, p), cz),
+                   jnp.where(m, _row(box_ref, 3 * b_pad, p), hx),
+                   jnp.where(m, _row(box_ref, 4 * b_pad, p), hy),
+                   jnp.where(m, _row(box_ref, 5 * b_pad, p), hz))
+            if has_rough:
+                out += (jnp.where(
+                    m, _row(box_ref, rows_ix.b_rough * b_pad, p), acc[10]),)
+            return out
 
+        box_pick_acc = (wr, wg, wb, w_mode, b_cx, b_cy, b_cz,
+                        b_hx, b_hy, b_hz)
+        if has_rough:
+            box_pick_acc += (w_rough,)
+        box_pick_acc = jax.lax.fori_loop(0, n_box, box_pick, box_pick_acc,
+                                         unroll=_unroll(n_box))
         (wr, wg, wb, w_mode, b_cx, b_cy, b_cz, b_hx, b_hy, b_hz
-         ) = jax.lax.fori_loop(0, n_box, box_pick,
-                               (wr, wg, wb, w_mode,
-                                b_cx, b_cy, b_cz, b_hx, b_hy, b_hz),
-                               unroll=_unroll(n_box))
+         ) = box_pick_acc[:10]
+        if has_rough:
+            w_rough = box_pick_acc[10]
 
         def tri_pick(p, acc):
-            wr, wg, wb, wm, gx, gy, gz = acc
+            wr, wg, wb, wm, gx, gy, gz = acc[:7]
             m = pid == p + n_sph + n_box
-            return (jnp.where(m, _row(tri_ref, 12 * r_pad, p), wr),
-                    jnp.where(m, _row(tri_ref, 13 * r_pad, p), wg),
-                    jnp.where(m, _row(tri_ref, 14 * r_pad, p), wb),
-                    jnp.where(m, _row(tri_ref, 15 * r_pad, p), wm),
-                    jnp.where(m, _row(tri_ref, 9 * r_pad, p), gx),
-                    jnp.where(m, _row(tri_ref, 10 * r_pad, p), gy),
-                    jnp.where(m, _row(tri_ref, 11 * r_pad, p), gz))
+            out = (jnp.where(m, _row(tri_ref, 12 * r_pad, p), wr),
+                   jnp.where(m, _row(tri_ref, 13 * r_pad, p), wg),
+                   jnp.where(m, _row(tri_ref, 14 * r_pad, p), wb),
+                   jnp.where(m, _row(tri_ref, 15 * r_pad, p), wm),
+                   jnp.where(m, _row(tri_ref, 9 * r_pad, p), gx),
+                   jnp.where(m, _row(tri_ref, 10 * r_pad, p), gy),
+                   jnp.where(m, _row(tri_ref, 11 * r_pad, p), gz))
+            if has_rough:
+                out += (jnp.where(
+                    m, _row(tri_ref, rows_ix.t_rough * r_pad, p), acc[7]),)
+            return out
 
-        (wr, wg, wb, w_mode, t_nx, t_ny, t_nz
-         ) = jax.lax.fori_loop(0, n_tri, tri_pick,
-                               (wr, wg, wb, w_mode,
-                                t_nx, t_ny, t_nz),
-                               unroll=_unroll(n_tri))
+        tri_pick_acc = (wr, wg, wb, w_mode, t_nx, t_ny, t_nz)
+        if has_rough:
+            tri_pick_acc += (w_rough,)
+        tri_pick_acc = jax.lax.fori_loop(0, n_tri, tri_pick, tri_pick_acc,
+                                         unroll=_unroll(n_tri))
+        (wr, wg, wb, w_mode, t_nx, t_ny, t_nz) = tri_pick_acc[:7]
+        if has_rough:
+            w_rough = tri_pick_acc[7]
 
         # ---- winner normal, once per bounce --------------------------------
         is_sph = (pid >= 0) & (pid < n_sph)
@@ -393,9 +450,12 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                          -1.0, 1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
         hit = alive & (pid >= 0)
-        lit = hit & (w_mode > 1.5)
-        cont = hit & (w_mode > 0.5) & ~lit
-        keep = hit & ~lit & ~cont
+        # mode decode: 0 keep, 1 mirror continuation, 2 emissive,
+        # 3 transmission continuation (mutually exclusive by packing)
+        lit = hit & (w_mode > 1.5) & (w_mode < 2.5)
+        cont_m = hit & (w_mode > 0.5) & (w_mode < 1.5)
+        cont_t = hit & (w_mode > 2.5) if has_trans else jnp.zeros(shape, bool)
+        keep = hit & ~lit & ~cont_m & ~cont_t
         miss = alive & (pid < 0)
 
         col_r = jnp.where(hit, col_r * wr,
@@ -409,37 +469,135 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                            jnp.where(keep, _KEEP,
                                      jnp.where(miss, _MISS, status)))
 
-        # mirror continuation: reflect + eps-advance (raytracer.ts:231-236)
+        # mirror continuation: reflect + eps-advance (raytracer.ts:231-236);
+        # the pure reflection is kept for the TIR fallback before any
+        # roughness scatter is applied (refract's TIR branch reflects the
+        # UNscattered direction, ops/vecmath.refract / raytracer.ts:147-149)
         d_dot_n = dx * nx + dy * ny + dz * nz
         rdx = dx - 2.0 * d_dot_n * nx
         rdy = dy - 2.0 * d_dot_n * ny
         rdz = dz - 2.0 * d_dot_n * nz
-        # hit point (hx_, hy_, hz_) was computed with the normals above
-        ox = jnp.where(cont, hx_ + EPS_ADVANCE * rdx, ox)
-        oy = jnp.where(cont, hy_ + EPS_ADVANCE * rdy, oy)
-        oz = jnp.where(cont, hz_ + EPS_ADVANCE * rdz, oz)
-        dx = jnp.where(cont, rdx, dx)
-        dy = jnp.where(cont, rdy, dy)
-        dz = jnp.where(cont, rdz, dz)
-        return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+        if has_rough:
+            # same draw coordinates and formulas as the XLA wavefront path
+            # (ops/sampling counter hash) — parity at fused tolerance
+            sdx, sdy, sdz = sampling.scatter_direction_xyz(
+                seed, rid, b_idx, rdx, rdy, rdz, nx, ny, nz, w_rough)
+        else:
+            sdx, sdy, sdz = rdx, rdy, rdz
 
-    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+        if has_trans:
+            # eps-advance along the OLD direction (raytracer.ts:240-241),
+            # then the entity_at_pos innermost-containment scan for the
+            # refraction target substance (ops/trace.substance_refr_at)
+            ax_ = hx_ + EPS_ADVANCE * dx
+            ay_ = hy_ + EPS_ADVANCE * dy
+            az_ = hz_ + EPS_ADVANCE * dz
+            a_dot_a = ax_ * ax_ + ay_ * ay_ + az_ * az_
+            inf_t = jnp.full(shape, _INF, jnp.float32)
+            any_in = jnp.zeros(shape, bool)
+
+            def sub_sph(p, acc):
+                vol_min, refr_sel, any_in = acc
+                cx = _row(sph_ref, 0, p)
+                cy = _row(sph_ref, s_pad, p)
+                cz = _row(sph_ref, 2 * s_pad, p)
+                ccmr = _row(sph_ref, 3 * s_pad, p)
+                # |a-c|^2 <= r^2  <=>  a.a - 2 a.c + (c.c - r^2) <= 0
+                q = a_dot_a - 2.0 * (ax_ * cx + ay_ * cy + az_ * cz) + ccmr
+                inside = q <= 0.0
+                vol = _row(sph_ref, rows_ix.s_vol * s_pad, p)
+                # strict < keeps the FIRST prim on volume ties, matching
+                # the XLA path's argmin-first semantics
+                u = inside & (vol < vol_min)
+                rf = _row(sph_ref, rows_ix.s_refr * s_pad, p)
+                return (jnp.where(u, vol, vol_min),
+                        jnp.where(u, rf, refr_sel),
+                        any_in | inside)
+
+            def sub_box(p, acc):
+                vol_min, refr_sel, any_in = acc
+                cx = _row(box_ref, 0, p)
+                cy = _row(box_ref, b_pad, p)
+                cz = _row(box_ref, 2 * b_pad, p)
+                hx = _row(box_ref, 3 * b_pad, p)
+                hy = _row(box_ref, 4 * b_pad, p)
+                hz = _row(box_ref, 5 * b_pad, p)
+                inside = ((jnp.abs(ax_ - cx) <= hx)
+                          & (jnp.abs(ay_ - cy) <= hy)
+                          & (jnp.abs(az_ - cz) <= hz))
+                vol = _row(box_ref, rows_ix.b_vol * b_pad, p)
+                u = inside & (vol < vol_min)
+                rf = _row(box_ref, rows_ix.b_refr * b_pad, p)
+                return (jnp.where(u, vol, vol_min),
+                        jnp.where(u, rf, refr_sel),
+                        any_in | inside)
+
+            acc = (inf_t, zero, any_in)
+            acc = jax.lax.fori_loop(0, n_sph, sub_sph, acc,
+                                    unroll=_unroll(n_sph))
+            acc = jax.lax.fori_loop(0, n_box, sub_box, acc,
+                                    unroll=_unroll(n_box))
+            _vol, refr_sel, any_in = acc
+            # innermost defined substance -> its index; undefined -> keep
+            # current, no refraction; none containing -> scene default
+            defined = refr_sel >= 0.0
+            target = jnp.where(any_in, jnp.where(defined, refr_sel, refr),
+                               jnp.broadcast_to(refr_def, shape))
+            do_refract = (~any_in) | defined
+            eta = refr / jnp.maximum(target, 1e-6)
+            # Snell + TIR (ops/vecmath.refract, term-for-term)
+            c1 = -(dx * nx + dy * ny + dz * nz)
+            s2 = eta * eta * (1.0 - c1 * c1)
+            inside_ = jnp.maximum(1.0 - s2, 0.0)
+            pos = inside_ > 0.0
+            c2 = jnp.sqrt(jnp.where(pos, inside_, 1.0)) * pos
+            k = eta * c1 - c2
+            tir = s2 > 1.0
+            fdx = jnp.where(tir, rdx, eta * dx + k * nx)
+            fdy = jnp.where(tir, rdy, eta * dy + k * ny)
+            fdz = jnp.where(tir, rdz, eta * dz + k * nz)
+            tdx = jnp.where(do_refract, fdx, dx)
+            tdy = jnp.where(do_refract, fdy, dy)
+            tdz = jnp.where(do_refract, fdz, dz)
+            new_refr = jnp.where(do_refract, target, refr)
+            ox = jnp.where(cont_t, ax_, ox)
+            oy = jnp.where(cont_t, ay_, oy)
+            oz = jnp.where(cont_t, az_, oz)
+            dx_t, dy_t, dz_t = tdx, tdy, tdz
+            refr = jnp.where(cont_t, new_refr, refr)
+        else:
+            dx_t, dy_t, dz_t = dx, dy, dz
+
+        # hit point (hx_, hy_, hz_) was computed with the normals above
+        ox = jnp.where(cont_m, hx_ + EPS_ADVANCE * sdx, ox)
+        oy = jnp.where(cont_m, hy_ + EPS_ADVANCE * sdy, oy)
+        oz = jnp.where(cont_m, hz_ + EPS_ADVANCE * sdz, oz)
+        dx = jnp.where(cont_t, dx_t, jnp.where(cont_m, sdx, dx))
+        dy = jnp.where(cont_t, dy_t, jnp.where(cont_m, sdy, dy))
+        dz = jnp.where(cont_t, dz_t, jnp.where(cont_m, sdz, dz))
+        return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+                refr)
+
+    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+             refr)
     for _bounce in range(refmax):
         if _bounce == 0:
             # bounce 0 of a shared-origin wavefront only needs the spheres
             # whose bounding cone test passed host-side (frustum culling);
             # later bounces have divergent origins -> full scan.
-            state = _one_bounce(state, use_short, True)
+            state = _one_bounce(state, use_short, True, 0)
         else:
             # whole-tile early-out: spheres are localized in the image, so
             # after bounce 0 many ray tiles have zero continuing rays — skip
             # the entire candidate scan for those (the reference's per-ray
             # termination check, raytracer.ts:168, at tile granularity).
             any_alive = jnp.any(state[10] == _ALIVE)
-            state = jax.lax.cond(any_alive,
-                                 lambda s: _one_bounce(s, False, False),
-                                 lambda s: s, state)
-    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status) = state
+            state = jax.lax.cond(
+                any_alive,
+                lambda s, b=_bounce: _one_bounce(s, False, False, b),
+                lambda s: s, state)
+    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+     refr) = state
 
     # refmax exhaustion -> black (raytracer.ts:256-263)
     exhausted = status == _ALIVE
@@ -462,11 +620,24 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
 
 
 def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                  sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
+                  rid_ref, sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
+                  aux_i_ref, aux_f_ref,
                   cr_ref, cg_ref, cb_ref, st_ref,
                   *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                  refmax, atten, use_short):
-    """Wavefront entry: per-ray origins/directions from HBM columns."""
+                  refmax, atten, use_short, ext):
+    """Wavefront entry: per-ray origins/directions from HBM columns.
+
+    ``rid_ref`` carries the caller's global ray ids (the RNG stream
+    coordinate); ``aux_i_ref``/``aux_f_ref`` are SMEM scalar rows
+    ([seed] / [refr0, refr_def]) the extended class needs (_trace_core).
+    """
+    has_rough, has_trans = ext[0], ext[1]
+    seed = aux_i_ref[0, 0].astype(jnp.uint32) if has_rough else None
+    if has_trans:
+        refr0 = aux_f_ref[0, 0]
+        refr_def = aux_f_ref[0, 1]
+    else:
+        refr0 = refr_def = None
     _trace_core(ox_ref[:], oy_ref[:], oz_ref[:],
                 dx_ref[:], dy_ref[:], dz_ref[:],
                 sph_ref, box_ref, tri_ref, sky_ref, sid_ref,
@@ -474,13 +645,15 @@ def _trace_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 n_sph=n_sph, n_box=n_box, n_tri=n_tri,
                 s_pad=s_pad, b_pad=b_pad, r_pad=r_pad,
                 refmax=refmax, atten=atten, use_short=use_short,
-                unit_d=False, has_c0=False)
+                unit_d=False, has_c0=False,
+                ext=ext, rid=rid_ref[:] if has_rough else None,
+                seed=seed, refr0=refr0, refr_def=refr_def)
 
 
 # SMEM camera layout for the frame kernel (all f32):
 # 0-2 pos, 3-5 front, 6-8 left, 9-11 up,
 # 12 step_h (fov_h/w), 13 step_v (fov_v/h), 14 off_h (w//2), 15 off_v (h//2),
-# 16-17 spare
+# 16 refr0 (camera-substance refractive index), 17 default_refr
 _CAM_SLOTS = 18
 
 #: sphere count at which the per-tile shortlist engages in the frame kernel
@@ -489,9 +662,10 @@ FRAME_SHORT_MIN = int(os.environ.get("RT_FRAME_SHORT_MIN", "12"))
 
 
 def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
+                        aux_ref,
                         cr_ref, cg_ref, cb_ref, st_ref,
                         *, n_sph, n_box, n_tri, s_pad, b_pad, r_pad,
-                        refmax, atten, dyn_short):
+                        refmax, atten, dyn_short, ext):
     """Frame entry: rays generated in-register from the camera pose.
 
     The grid is 2-D over (row-tile, column-tile) of the image: program
@@ -506,8 +680,10 @@ def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
     bx = pl.program_id(1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (FUSE_SUB, SP_LANE), 1)
-    x = (bx * SP_LANE + lane).astype(jnp.float32)
-    y = (by * FUSE_SUB + sub).astype(jnp.float32)
+    xi = bx * SP_LANE + lane
+    yi = by * FUSE_SUB + sub
+    x = xi.astype(jnp.float32)
+    y = yi.astype(jnp.float32)
     th_h = (x - cam_ref[0, 14]) * cam_ref[0, 12]
     th_v = (y - cam_ref[0, 15]) * cam_ref[0, 13]
     ch, sh = jnp.cos(th_h), jnp.sin(th_h)
@@ -516,6 +692,14 @@ def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
     dx = a1 * cam_ref[0, 3] + a2 * cam_ref[0, 9] + sh * cam_ref[0, 6]
     dy = a1 * cam_ref[0, 4] + a2 * cam_ref[0, 10] + sh * cam_ref[0, 7]
     dz = a1 * cam_ref[0, 5] + a2 * cam_ref[0, 11] + sh * cam_ref[0, 8]
+    has_rough, has_trans = ext[0], ext[1]
+    if has_rough:
+        # RNG stream coordinate = (pixel id) * spp + sample, identical to
+        # render.render_rays' sid derivation for the XLA path
+        seed = aux_ref[0, 0].astype(jnp.uint32)
+        rid = (yi * aux_ref[0, 1] + xi) * aux_ref[0, 2] + aux_ref[0, 3]
+    else:
+        seed = rid = None
     _trace_core(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2], dx, dy, dz,
                 sph_ref, box_ref, tri_ref, sky_ref, None,
                 cr_ref, cg_ref, cb_ref, st_ref,
@@ -524,51 +708,55 @@ def _trace_frame_kernel(cam_ref, sph_ref, box_ref, tri_ref, sky_ref, tab_ref,
                 refmax=refmax, atten=atten, use_short=False,
                 unit_d=True, has_c0=True,
                 tab_ref=tab_ref, dyn_short=dyn_short,
-                tab_row=by * pl.num_programs(1) + bx)
+                tab_row=by * pl.num_programs(1) + bx,
+                ext=ext, rid=rid, seed=seed,
+                refr0=cam_ref[0, 16] if has_trans else None,
+                refr_def=cam_ref[0, 17] if has_trans else None)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "refmax", "atten", "use_short",
-                                    "interpret"))
-def _trace_call(cols, sph, box, tri, sky, sid, meta, refmax, atten,
-                use_short, interpret=False):
+                                    "ext", "interpret"))
+def _trace_call(cols, rid, sph, box, tri, sky, sid, aux_i, aux_f, meta,
+                refmax, atten, use_short, ext, interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     rows = cols[0].shape[0]
     grid = (rows // FUSE_SUB,)
     kern = functools.partial(_trace_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
                              r_pad=r_pad, refmax=refmax, atten=atten,
-                             use_short=use_short)
+                             use_short=use_short, ext=ext)
     ray_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
     # SMEM blocks must match full array dims; programs index rows by
     # pl.program_id instead of a blocked index_map
-    sid_spec = pl.BlockSpec(sid.shape, lambda i: (0, 0),
-                            memory_space=pltpu.SMEM)
+    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0),
+                                    memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[ray_spec] * 6 + [full(sph), full(box), full(tri),
-                                   full(sky), sid_spec],
+        in_specs=[ray_spec] * 7 + [full(sph), full(box), full(tri),
+                                   full(sky), smem(sid), smem(aux_i),
+                                   smem(aux_f)],
         out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
         out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((rows, SP_LANE), jnp.int32)],
         interpret=interpret,
-    )(*cols, sph, box, tri, sky, sid)
+    )(*cols, rid, sph, box, tri, sky, sid, aux_i, aux_f)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("meta", "refmax", "atten", "nby", "nbx",
-                                    "dyn_short", "interpret"))
-def _trace_frame_call(cam, sph, box, tri, sky, tab, meta, refmax, atten,
-                      nby, nbx, dyn_short, interpret=False):
+                                    "dyn_short", "ext", "interpret"))
+def _trace_frame_call(cam, sph, box, tri, sky, tab, aux, meta, refmax, atten,
+                      nby, nbx, dyn_short, ext, interpret=False):
     n_sph, n_box, n_tri, s_pad, b_pad, r_pad = meta
     kern = functools.partial(_trace_frame_kernel, n_sph=n_sph, n_box=n_box,
                              n_tri=n_tri, s_pad=s_pad, b_pad=b_pad,
                              r_pad=r_pad, refmax=refmax, atten=atten,
-                             dyn_short=dyn_short)
+                             dyn_short=dyn_short, ext=ext)
     tile_spec = pl.BlockSpec((FUSE_SUB, SP_LANE), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i, j: (0, 0),
@@ -581,17 +769,19 @@ def _trace_frame_call(cam, sph, box, tri, sky, tab, meta, refmax, atten,
     # own row instead
     tab_spec = pl.BlockSpec(tab.shape, lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
+    aux_spec = pl.BlockSpec(aux.shape, lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
     h_pad, w_pad = nby * FUSE_SUB, nbx * SP_LANE
     return pl.pallas_call(
         kern,
         grid=(nby, nbx),
         in_specs=[cam_spec, full(sph), full(box), full(tri), full(sky),
-                  tab_spec],
+                  tab_spec, aux_spec],
         out_specs=[tile_spec, tile_spec, tile_spec, tile_spec],
         out_shape=[jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)] * 3
         + [jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)],
         interpret=interpret,
-    )(cam, sph, box, tri, sky, tab)
+    )(cam, sph, box, tri, sky, tab, aux)
 
 
 #: sphere count at which bounce-0 frustum shortlists engage. Measured on a
@@ -656,11 +846,19 @@ def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
 
 
 def _pack_prims(scene: Scene, cam_pos: Array | None = None):
-    """Lane-replicated primitive tables -> (sph, box, tri, sky, meta).
+    """Lane-replicated primitive tables -> (sph, box, tri, sky, meta, ext).
 
     When ``cam_pos`` is given the sphere table gets a 10th row block (index
     9) with the bounce-0 quadratic constant c0 = o.o - 2 o.c + (c.c - r^2)
     folded in (the frame kernel's ``has_c0`` path).
+
+    Extended-class rows are APPENDED after the base layout so the
+    restricted-class row indices never move: per-class material roughness
+    (``has_rough``), and for transmission the per-prim substance refractive
+    index (-1.0 = undefined substance, raytracer.ts:243-248) plus the
+    enclosed volume for the innermost-containment rule (spheres and boxes
+    only — triangles have no interior). ``ext`` is the static
+    ``(has_rough, has_trans, ExtRows)`` descriptor for ``_trace_core``.
     """
     def pad8(x):
         return -(-max(x, 1) // 8) * 8
@@ -670,16 +868,22 @@ def _pack_prims(scene: Scene, cam_pos: Array | None = None):
 
     # per-prim shading attributes in global prim order; response mode packs
     # the emissive/continuation flags into one row (2 = light, 1 = mirror
-    # REFLECTION continuation, 0 = keep — mutually exclusive by definition)
+    # REFLECTION continuation, 3 = transmission continuation, 0 = keep —
+    # mutually exclusive: light wins, and a material has ONE response type)
     prim_rgb = scene.textures.solid_rgb[scene.prim_texture]      # [P, 3]
     mat = scene.materials
+    not_light = mat.light[scene.prim_material] == False  # noqa: E712
     m_light = mat.light[scene.prim_material].astype(jnp.float32)
     m_cont = (mat.mirror[scene.prim_material]
               & (mat.response[scene.prim_material]
                  == int(ResponseType.REFLECTION))
-              & (mat.light[scene.prim_material] == False)  # noqa: E712
-              ).astype(jnp.float32)
+              & not_light).astype(jnp.float32)
+    m_trans = ((mat.response[scene.prim_material]
+                == int(ResponseType.TRANSMISSION))
+               & not_light).astype(jnp.float32)
     m_mode = 2.0 * m_light + m_cont
+    if scene.has_transmission:
+        m_mode = m_mode + 3.0 * m_trans
 
     def attr_slice(lo, hi):
         return (prim_rgb[lo:hi, 0], prim_rgb[lo:hi, 1], prim_rgb[lo:hi, 2],
@@ -700,33 +904,69 @@ def _pack_prims(scene: Scene, cam_pos: Array | None = None):
                               + scene.sphere_center[:, 1] * o[1]
                               + scene.sphere_center[:, 2] * o[2]) + ccmr
         sph_cols.append(c0)
-    sph = pack_replicated(sph_cols, s_pad)
-    box = pack_replicated(
-        [scene.box_center[:, 0], scene.box_center[:, 1],
-         scene.box_center[:, 2], scene.box_half[:, 0],
-         scene.box_half[:, 1], scene.box_half[:, 2],
-         *attr_slice(s_end, b_end)], b_pad)
+    box_cols = [scene.box_center[:, 0], scene.box_center[:, 1],
+                scene.box_center[:, 2], scene.box_half[:, 0],
+                scene.box_half[:, 1], scene.box_half[:, 2],
+                *attr_slice(s_end, b_end)]
     e1 = scene.tri_v1 - scene.tri_v0
     e2 = scene.tri_v2 - scene.tri_v0
     gn = jnp.cross(e1, e2)
     gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-    tri = pack_replicated(
-        [scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
-         scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
-         scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
-         gn[:, 0], gn[:, 1], gn[:, 2], *attr_slice(b_end, scene.n_prims)],
-        r_pad)
+    tri_cols = [scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
+                scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
+                scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
+                gn[:, 0], gn[:, 1], gn[:, 2],
+                *attr_slice(b_end, scene.n_prims)]
+
+    rows = {}
+    if scene.has_rough:
+        rough = mat.roughness[scene.prim_material]
+        rows["s_rough"] = len(sph_cols)
+        sph_cols.append(rough[0:s_end])
+        rows["b_rough"] = len(box_cols)
+        box_cols.append(rough[s_end:b_end])
+        rows["t_rough"] = len(tri_cols)
+        tri_cols.append(rough[b_end:scene.n_prims])
+    if scene.has_transmission:
+        sub_id = scene.prim_substance
+        sub_refr = jnp.where(
+            sub_id >= 0,
+            scene.sub_refr[jnp.clip(sub_id, 0, scene.sub_refr.shape[0] - 1)],
+            -1.0)
+        s_vol = (4.0 / 3.0) * jnp.pi * scene.sphere_radius ** 3
+        b_vol = jnp.prod(2.0 * scene.box_half, axis=-1)
+        rows["s_refr"] = len(sph_cols)
+        sph_cols.append(sub_refr[0:s_end])
+        rows["s_vol"] = len(sph_cols)
+        sph_cols.append(s_vol)
+        rows["b_refr"] = len(box_cols)
+        box_cols.append(sub_refr[s_end:b_end])
+        rows["b_vol"] = len(box_cols)
+        box_cols.append(b_vol)
+
+    sph = pack_replicated(sph_cols, s_pad)
+    box = pack_replicated(box_cols, b_pad)
+    tri = pack_replicated(tri_cols, r_pad)
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     sky = pack_replicated([sky_rgb[0:1], sky_rgb[1:2], sky_rgb[2:3]], 1)
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris,
             s_pad, b_pad, r_pad)
-    return sph, box, tri, sky, meta
+    ext = (bool(scene.has_rough), bool(scene.has_transmission),
+           ExtRows(**rows))
+    return sph, box, tri, sky, meta, ext
 
 
 def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+                     key: Array | None = None, ray_id: Array | None = None,
+                     start_refr: Array | None = None,
                      interpret: bool | None = None
                      ) -> Tuple[Array, Array]:
     """Fused trace -> (color [N, 3], status [N]).
+
+    ``key``/``ray_id`` seed the in-kernel counter RNG for rough scenes
+    (identical streams to the XLA path); ``start_refr`` is the camera
+    substance scalar for transmission scenes (defaults to the scene
+    default — callers should pass render.start_substance's result).
 
     Caller must check :func:`supports`. Matches ops/trace.trace_rays colors
     and statuses exactly for the restricted class.
@@ -736,6 +976,8 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     n = org.shape[0]
     quant = FUSE_SUB * SP_LANE
     n_pad = -(-n // quant) * quant
+    if ray_id is None:
+        ray_id = jnp.arange(n, dtype=jnp.int32)
     if n_pad != n:
         # edge-replicate (not constant-pad) so padded rays stay inside the
         # per-block culling cones; their outputs are sliced off below
@@ -744,10 +986,21 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
             [org, jnp.broadcast_to(org[-1], rep + (3,))], axis=0)
         dir = jnp.concatenate(
             [dir, jnp.broadcast_to(dir[-1], rep + (3,))], axis=0)
+        ray_id = jnp.concatenate(
+            [ray_id, jnp.broadcast_to(ray_id[-1], rep)], axis=0)
     cols = _ray_cols(org, dir, n_pad)
+    rid = ray_id.reshape(-1, SP_LANE)
 
-    sph, box, tri, sky, meta = _pack_prims(scene)
+    sph, box, tri, sky, meta, ext = _pack_prims(scene)
     s_pad = meta[3]
+    seed = (sampling.seed_from_key(
+        key if key is not None else jax.random.key(0)).astype(jnp.int32)
+        if ext[0] else jnp.int32(0))
+    aux_i = jnp.broadcast_to(seed, (1, 8)).astype(jnp.int32)
+    refr0 = (jnp.asarray(start_refr, jnp.float32)
+             if start_refr is not None else scene.default_refr)
+    aux_f = jnp.stack([refr0, scene.default_refr,
+                       *([jnp.float32(0.0)] * 6)]).reshape(1, 8)
 
     nblk = n_pad // quant
     use_short = (scene.n_spheres >= SHORTLIST_MIN_SPHERES
@@ -760,9 +1013,9 @@ def trace_rays_fused(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         # table would eat SMEM for nothing at small FUSE_SUB
         sid = jnp.zeros((1, 8), jnp.int32)
     cr, cg, cb, st = _trace_call(
-        cols, sph, box, tri, sky, sid, meta, int(cfg.refmax),
-        float(cfg.distance_attenuation_factor), use_short,
-        interpret=interpret)
+        cols, rid, sph, box, tri, sky, sid, aux_i, aux_f, meta,
+        int(cfg.refmax), float(cfg.distance_attenuation_factor), use_short,
+        ext, interpret=interpret)
     color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                        cb.reshape(-1)[:n]], axis=-1)
     return color, st.reshape(-1)[:n]
@@ -839,6 +1092,8 @@ def _tile_shortlists(cam, nby: int, nbx: int, centers: Array,
 
 
 def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
+                      key: Array | None = None, sample: Array | int = 0,
+                      start_refr: Array | None = None,
                       interpret: bool | None = None) -> Array:
     """Whole-frame fused trace with in-kernel ray generation -> [h, w, 3].
 
@@ -855,16 +1110,24 @@ def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
     nbx = -(-cam.w // SP_LANE)
     nby = -(-cam.h // FUSE_SUB)
 
-    sph, box, tri, sky, meta = _pack_prims(scene, cam_pos=cam.pos)
+    sph, box, tri, sky, meta, ext = _pack_prims(scene, cam_pos=cam.pos)
+    refr0 = (jnp.asarray(start_refr, jnp.float32)
+             if start_refr is not None else scene.default_refr)
     cam_arr = jnp.concatenate([
         cam.pos.astype(jnp.float32),
         cam.front.astype(jnp.float32),
         cam.left.astype(jnp.float32),
         cam.up.astype(jnp.float32),
         jnp.array([cam.fov_h / cam.w, cam.fov_v / cam.h,
-                   float(cam.w // 2), float(cam.h // 2),
-                   0.0, 0.0], jnp.float32),
+                   float(cam.w // 2), float(cam.h // 2)], jnp.float32),
+        refr0.reshape(1), scene.default_refr.reshape(1),
     ]).reshape(1, _CAM_SLOTS)
+    seed = (sampling.seed_from_key(
+        key if key is not None else jax.random.key(0)).astype(jnp.int32)
+        if ext[0] else jnp.int32(0))
+    aux = jnp.stack([seed, jnp.int32(cam.w), jnp.int32(cfg.spp),
+                     jnp.asarray(sample, jnp.int32),
+                     *([jnp.int32(0)] * 4)]).reshape(1, 8)
     dyn_short = (scene.n_spheres >= FRAME_SHORT_MIN
                  and not os.environ.get("RT_NO_FRAME_SHORT"))
     if dyn_short:
@@ -873,9 +1136,9 @@ def trace_frame_fused(scene: Scene, cfg: RenderConfig, cam,
     else:
         tab = jnp.zeros((nby * nbx, 2), jnp.int32)
     cr, cg, cb, _st = _trace_frame_call(
-        cam_arr, sph, box, tri, sky, tab, meta, int(cfg.refmax),
+        cam_arr, sph, box, tri, sky, tab, aux, meta, int(cfg.refmax),
         float(cfg.distance_attenuation_factor), nby, nbx, dyn_short,
-        interpret=interpret)
+        ext, interpret=interpret)
     img = jnp.stack([cr, cg, cb], axis=-1)
     if img.shape[0] != cam.h or img.shape[1] != cam.w:
         img = img[:cam.h, :cam.w]

@@ -315,7 +315,7 @@ def sky_color(scene: Scene, dir: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
-            keys: Array, bounce: Array) -> RayState:
+            rng, bounce: Array) -> RayState:
     """One wavefront pass: traverse -> intersect -> shade -> respawn."""
     alive = state.status == int(RayStatus.ALIVE)
 
@@ -355,9 +355,9 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
     # --- REFLECTION (mirror) -------------------------------------------------
     refl_dir = reflect(state.dir, normal)
     if scene.has_rough:
-        bounce_keys = jax.vmap(jax.random.fold_in, (0, None))(keys, bounce)
-        refl_dir = sampling.scatter_direction(bounce_keys, refl_dir, normal,
-                                              roughness)
+        seed, rid = rng
+        refl_dir = sampling.scatter_direction(seed, rid, bounce, refl_dir,
+                                              normal, roughness)
     # --- TRANSMISSION (compiled out for scenes without it) -------------------
     adv_point = point + EPS_ADVANCE * state.dir        # ε-advance, OLD dir
     if scene.has_transmission:
@@ -424,11 +424,13 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         refr=start_refr + zeros,
         status=zeros.astype(jnp.int32),
     )
-    # Per-ray key folding is only needed when some material scatters.
-    keys = sampling.ray_keys(key, ray_id) if scene.has_rough else None
+    # Counter RNG coordinates (seed, global ray id) — only drawn from when
+    # some material scatters.
+    rng = ((sampling.seed_from_key(key), ray_id)
+           if scene.has_rough else None)
 
     def body(b, st):
-        return _bounce(scene, cfg, accel, st, keys, b)
+        return _bounce(scene, cfg, accel, st, rng, b)
 
     state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=cfg.unroll)
 

@@ -9,7 +9,7 @@ inverse-rendering fit). The reference has no analogue (single JS thread,
 ``for (let campx of ...)`` — raytracer.ts:318-329).
 
 Determinism under sharding: each ray's RNG stream is keyed by its *global*
-ray id (ops/sampling.ray_keys), so any mesh shape produces bitwise-identical
+ray id (ops/sampling counter hash), so any mesh shape produces bitwise-identical
 images.
 """
 from __future__ import annotations

@@ -49,10 +49,25 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         from .kernels import trace_fused
 
         if trace_fused.supports(scene):
-            # Deterministic restricted class: spp averaging is a no-op and
-            # the whole bounce loop runs inside one Pallas kernel.
-            color, _status = trace_fused.trace_rays_fused(scene, cfg, org, dir)
-            return color
+            # Whole bounce loop inside one Pallas kernel. Rough scenes draw
+            # from the same (key, ray_id*spp + s, bounce) counter streams
+            # as the XLA path below; deterministic scenes skip the RNG and
+            # the spp loop entirely (averaging identical samples is a no-op).
+            refr0 = (start_substance(scene, org[0])
+                     if scene.has_transmission else None)
+
+            def one_fused(s):
+                color, _status = trace_fused.trace_rays_fused(
+                    scene, cfg, org, dir, key=key,
+                    ray_id=ray_id * cfg.spp + s, start_refr=refr0)
+                return color
+
+            if cfg.spp == 1 or not scene.has_rough:
+                return one_fused(0)
+            acc = jax.lax.fori_loop(
+                0, cfg.spp, lambda s, a: a + one_fused(s),
+                jnp.zeros_like(org))
+            return acc / cfg.spp
         cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
 
     refr0 = jnp.broadcast_to(start_substance(scene, org[0]), (org.shape[0],))
@@ -99,7 +114,20 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
         if trace_fused.supports_frame(scene):
             # headline path: rays are generated inside the kernel — no
             # raygen/pack stage, no ray tensors in HBM at all
-            return trace_fused.trace_frame_fused(scene, cfg, camera)
+            refr0 = (start_substance(scene, camera.pos)
+                     if scene.has_transmission else None)
+
+            def one_frame(s):
+                return trace_fused.trace_frame_fused(
+                    scene, cfg, camera, key=key, sample=s,
+                    start_refr=refr0)
+
+            if cfg.spp == 1 or not scene.has_rough:
+                return one_frame(0)
+            acc = jax.lax.fori_loop(
+                0, cfg.spp, lambda s, a: a + one_frame(s),
+                jnp.zeros((camera.h, camera.w, 3), jnp.float32))
+            return acc / cfg.spp
     org, dir = pixel_rays(camera)
     ray_id = jnp.arange(org.shape[0], dtype=jnp.int32)
     colors = render_rays(scene, cfg, org, dir, key, ray_id, accel=accel)

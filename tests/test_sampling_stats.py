@@ -17,14 +17,14 @@ from raytracer_js_tpu.ops import sampling
 N = 1 << 14
 
 
-def _keys(seed=0, n=N):
-    return sampling.ray_keys(jax.random.key(seed),
-                             jnp.arange(n, dtype=jnp.int32))
+def _rng(seed=0, n=N):
+    return (sampling.seed_from_key(jax.random.key(seed)),
+            jnp.arange(n, dtype=jnp.int32))
 
 
 def test_ball_sample_radial_cdf():
     """Uniform in ball <=> r^3 ~ Uniform(0,1): check moments and deciles."""
-    v = np.asarray(sampling.ball_sample(_keys()))
+    v = np.asarray(sampling.ball_sample(*_rng()))
     r3 = np.sum(v * v, axis=-1) ** 1.5
     assert np.all(r3 <= 1.0 + 1e-6)
     # E[r^3] = 1/2, Var = 1/12 -> mean standard error ~ 0.0023
@@ -37,7 +37,7 @@ def test_ball_sample_radial_cdf():
 
 def test_ball_sample_isotropy():
     """Directions are isotropic: mean ~ 0, unit-dir covariance ~ I/3."""
-    v = np.asarray(sampling.ball_sample(_keys(seed=1)))
+    v = np.asarray(sampling.ball_sample(*_rng(seed=1)))
     d = v / np.linalg.norm(v, axis=-1, keepdims=True)
     assert np.all(np.abs(d.mean(axis=0)) < 0.02)
     cov = d.T @ d / len(d)
@@ -47,7 +47,8 @@ def test_ball_sample_isotropy():
 @pytest.mark.parametrize("normal", [(0.0, 0.0, 1.0), (0.6, -0.8, 0.0)])
 def test_hemisphere_sample_constraint_and_distribution(normal):
     n = jnp.broadcast_to(jnp.asarray(normal, jnp.float32), (N, 3))
-    v = np.asarray(sampling.hemisphere_ball_sample(_keys(seed=2), n))
+    seed, rid = _rng(seed=2)
+    v = np.asarray(sampling.hemisphere_ball_sample(seed, rid, n))
     dots = v @ np.asarray(normal)
     assert np.all(dots >= -1e-7)  # hemisphere constraint (raytracer.ts:124-127)
     # folding the ball preserves the radial law and in-plane isotropy
@@ -61,19 +62,19 @@ def test_hemisphere_sample_constraint_and_distribution(normal):
 def test_scatter_direction_limits_and_norm():
     """roughness 0 -> exactly specular; roughness 1 -> hemisphere sample
     direction; all outputs unit (raytracer.ts:129-133 normalizes)."""
-    keys = _keys(seed=3, n=4096)
+    seed, rid = _rng(seed=3, n=4096)
     nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4096, 3))
     refl = jnp.broadcast_to(
         jnp.asarray([np.sqrt(0.5), 0.0, np.sqrt(0.5)], jnp.float32),
         (4096, 3))
-    out0 = sampling.scatter_direction(keys, refl, nrm,
+    out0 = sampling.scatter_direction(seed, rid, 0, refl, nrm,
                                       jnp.zeros((4096,), jnp.float32))
     np.testing.assert_array_equal(np.asarray(out0), np.asarray(refl))
 
     out1 = np.asarray(sampling.scatter_direction(
-        keys, refl, nrm, jnp.ones((4096,), jnp.float32)))
+        seed, rid, 0, refl, nrm, jnp.ones((4096,), jnp.float32)))
     np.testing.assert_allclose(np.linalg.norm(out1, axis=-1), 1.0, atol=1e-5)
-    ball = np.asarray(sampling.hemisphere_ball_sample(keys, nrm))
+    ball = np.asarray(sampling.hemisphere_ball_sample(seed, rid, nrm))
     ball = ball / np.linalg.norm(ball, axis=-1, keepdims=True)
     np.testing.assert_allclose(out1, ball, atol=1e-5)
 
@@ -82,7 +83,7 @@ def test_scatter_direction_limits_and_norm():
     aligns = []
     for rho in (0.2, 0.5, 0.8):
         out = np.asarray(sampling.scatter_direction(
-            keys, refl, nrm, jnp.full((4096,), rho, jnp.float32)))
+            seed, rid, 0, refl, nrm, jnp.full((4096,), rho, jnp.float32)))
         np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0,
                                    atol=1e-5)
         aligns.append(float(np.mean(out @ np.asarray(refl[0]))))

@@ -25,13 +25,89 @@ def _compare(scene, cam, cfg):
 
 def test_supports_gate():
     assert supports(config1_scene())
-    assert not supports(config1_scene(with_glass=True))
+    # r2: transmission and roughness are in-class (in-kernel containment
+    # scan / counter-RNG scatter); only image textures remain excluded
+    assert supports(config1_scene(with_glass=True))
     b = SceneBuilder()
     b.set_sky(b.add_solid_texture((0, 0, 0)))
     rough = b.add_material(ResponseType.REFLECTION, mirror=True,
                            roughness=0.5)
     b.add_sphere((1, 0, 0), 0.5, rough, b.add_solid_texture((1, 1, 1)))
-    assert not supports(b.build())
+    assert supports(b.build())
+    b2 = SceneBuilder()
+    img = np.full((4, 4, 3), 0.5, np.float32)
+    b2.set_sky(b2.add_image_texture(img))
+    assert not supports(b2.build())
+
+
+def _ext_scene(trans=False, rough=0.0, seed=5):
+    """Mixed extended-class scene: ground box, mirror, glass (defined and
+    undefined substance), emissive."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True,
+                            roughness=rough)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((0, 0, -51.0), 100.0, diffuse, b.add_solid_texture((.6,) * 3))
+    b.add_sphere((4, 0, 0.5), 1.0, mirror, b.add_solid_texture((.9, .2, .1)))
+    if trans:
+        glass_sub = b.add_substance(1.5)
+        glass = b.add_material(ResponseType.TRANSMISSION)
+        b.add_sphere((3, -1.5, 0.5), 0.8, glass,
+                     b.add_solid_texture((.95, .95, 1.0)),
+                     substance=glass_sub)
+        # undefined substance: pass-through, no refraction
+        # (raytracer.ts:243-248)
+        b.add_sphere((3, 1.5, 0.5), 0.7, glass,
+                     b.add_solid_texture((1.0, 1.0, 1.0)))
+        # nested: small water sphere inside the glass one exercises the
+        # innermost-containment rule
+        water = b.add_substance(1.333)
+        b.add_sphere((3, -1.5, 0.5), 0.35, glass,
+                     b.add_solid_texture((0.9, 1.0, 1.0)), substance=water)
+    b.add_sphere((5, .5, 4.0), 1.0, light, b.add_solid_texture((1.,) * 3))
+    return b.build()
+
+
+def test_fused_transmission_matches_wavefront():
+    scene = _ext_scene(trans=True)
+    assert supports(scene)
+    cam = make_camera((0.0, 0.0, 0.5), 24, 24, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=3))
+
+
+def test_fused_rough_matches_wavefront():
+    """Identical counter-RNG streams: the fused kernel's in-kernel scatter
+    reproduces the XLA path's draws (same (key, rid, bounce) hash)."""
+    scene = _ext_scene(rough=0.5)
+    cam = make_camera((0.0, 0.0, 0.5), 24, 24, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=2))
+
+
+def test_fused_rough_transmission_combined():
+    scene = _ext_scene(trans=True, rough=0.4)
+    cam = make_camera((0.0, 0.0, 0.5), 24, 24, np.pi / 2, np.pi / 2)
+    _compare(scene, cam, RenderConfig(refmax=3))
+
+
+def test_fused_frame_rough_spp_matches_brute():
+    """Frame kernel + spp accumulation on a rough scene vs the XLA path
+    (render_hdr end-to-end, same RNG stream ids pixel*spp + s)."""
+    import dataclasses
+
+    from raytracer_js_tpu.config import HitBackend
+    from raytracer_js_tpu.render import render_hdr
+
+    scene = _ext_scene(rough=0.6)
+    cam = make_camera((0.0, 0.0, 0.5), 24, 16, np.pi / 2, np.pi / 3)
+    key = jax.random.key(11)
+    cfg = RenderConfig(refmax=2, spp=2, backend=HitBackend.FUSED)
+    a = np.asarray(render_hdr(scene, cam, cfg, key=key))
+    b = np.asarray(render_hdr(
+        scene, cam, dataclasses.replace(cfg, backend=HitBackend.BRUTE),
+        key=key))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 def test_fused_matches_wavefront_config1():
@@ -124,12 +200,23 @@ def test_render_fused_backend_end_to_end():
     img_f = np.asarray(render_hdr(scene, cam,
                                   config1_cfg(backend=HitBackend.FUSED)))
     np.testing.assert_allclose(img_f, img_b, rtol=1e-4, atol=1e-5)
-    # unsupported scene silently falls back to brute
+    # transmission is in-class since r2: the glass scene runs the fused
+    # kernel (ULP-level agreement), it no longer falls back to brute
     glass = config1_scene(with_glass=True)
     img_g = np.asarray(render_hdr(glass, cam,
                                   config1_cfg(backend=HitBackend.FUSED)))
     img_gb = np.asarray(render_hdr(glass, cam, config1_cfg()))
-    np.testing.assert_array_equal(img_g, img_gb)
+    np.testing.assert_allclose(img_g, img_gb, rtol=1e-4, atol=1e-5)
+    # an image-textured scene DOES fall back (out of fused class)
+    bi = SceneBuilder()
+    bi.set_sky(bi.add_image_texture(np.full((4, 4, 3), 0.4, np.float32)))
+    d = bi.add_material(ResponseType.REFLECTION)
+    bi.add_sphere((4, 0, 0.5), 1.0, d, bi.add_solid_texture((.9, .2, .1)))
+    imgsc = bi.build()
+    img_i = np.asarray(render_hdr(imgsc, cam,
+                                  config1_cfg(backend=HitBackend.FUSED)))
+    img_ib = np.asarray(render_hdr(imgsc, cam, config1_cfg()))
+    np.testing.assert_array_equal(img_i, img_ib)
 
 
 def test_frame_fused_nonsquare_offgrid():
