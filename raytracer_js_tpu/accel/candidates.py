@@ -318,7 +318,8 @@ def packet_cones(org: Array, dir: Array, alive: Array, packet: int):
     axis = (d * m).sum(axis=1)
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
                               1e-20)
-    dots = jnp.einsum("bpk,bk->bp", d, axis)
+    dots = jnp.einsum("bpk,bk->bp", d, axis,
+                      precision=jax.lax.Precision.HIGHEST)
     cos_t = jnp.min(jnp.where(m[..., 0] > 0, dots, 1.0), axis=1)
     cos_t = jnp.clip(cos_t, -1.0, 1.0)
     any_live = m[..., 0].sum(axis=1) > 0
@@ -354,7 +355,11 @@ def packet_candidates(scene: Scene, org: Array, dir: Array, alive: Array,
     inside = dist <= rr * (1.0 + 1e-5) + 1e-7
     sin_a = jnp.clip(rr / jnp.maximum(dist, 1e-20), 0.0, 1.0)
     cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
-    cos_b = jnp.einsum("bpk,bk->bp", v, axis) / jnp.maximum(dist, 1e-20)
+    # HIGHEST: the cone test's 1e-5 slack is far below bf16 rounding —
+    # a default-precision contraction could wrongly cull (exactness bug)
+    cos_b = jnp.einsum("bpk,bk->bp", v, axis,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-20)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     include = inside | (cos_b >= cos_a * cos_t[:, None]
                         - sin_a * sin_t[:, None] - 1e-5)

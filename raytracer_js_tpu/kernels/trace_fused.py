@@ -449,6 +449,12 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
         flip = jnp.where(do_flip & (dx * nx + dy * ny + dz * nz > 0.0),
                          -1.0, 1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
+        # normalize: (hit - c) * inv_r inherits hit-t rounding amplified by
+        # 1/r; unnormalized normals drift reflected |d| (~1e-4 on small
+        # spheres), breaking the unit_d quadratic at grazing incidence
+        n_inv = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                           1e-20))
+        nx, ny, nz = nx * n_inv, ny * n_inv, nz * n_inv
         hit = alive & (pid >= 0)
         # mode decode: 0 keep, 1 mirror continuation, 2 emissive,
         # 3 transmission continuation (mutually exclusive by packing)
@@ -818,7 +824,8 @@ def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
     axis = jnp.mean(db, axis=1)
     axis = axis / jnp.maximum(
         jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-20)
-    cos_t = jnp.min(jnp.einsum("brk,bk->br", db, axis), axis=1)
+    cos_t = jnp.min(jnp.einsum("brk,bk->br", db, axis,
+                               precision=jax.lax.Precision.HIGHEST), axis=1)
     cos_t = jnp.clip(cos_t, -1.0, 1.0)
     o0 = jnp.mean(ob, axis=1)                                    # [nblk, 3]
     ro = jnp.max(jnp.linalg.norm(ob - o0[:, None], axis=-1), axis=1)
@@ -828,7 +835,9 @@ def _sphere_shortlists(org: Array, dir: Array, centers: Array, radii: Array,
     inside = dist <= rr * (1.0 + 1e-5) + 1e-7
     sin_a = jnp.clip(rr / jnp.maximum(dist, 1e-20), 0.0, 1.0)
     cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
-    cos_b = jnp.einsum("bsk,bk->bs", v, axis) / jnp.maximum(dist, 1e-20)
+    cos_b = jnp.einsum("bsk,bk->bs", v, axis,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-20)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     cos_at = cos_a * cos_t[:, None] - sin_a * sin_t[:, None]
     include = inside | (cos_b >= cos_at - 1e-5)
@@ -1074,7 +1083,9 @@ def _tile_shortlists(cam, nby: int, nbx: int, centers: Array,
     inside = dist <= radii[None, :] * (1.0 + 1e-5) + 1e-7
     sin_a = jnp.clip(radii[None, :] / jnp.maximum(dist, 1e-20), 0.0, 1.0)
     cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
-    cos_b = jnp.einsum("bsk,bk->bs", v, axis) / jnp.maximum(dist, 1e-20)
+    cos_b = jnp.einsum("bsk,bk->bs", v, axis,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(dist, 1e-20)
     include = inside | (cos_b >= cos_a * cos_t - sin_a * sin_t - 1e-5)
 
     s = centers.shape[0]

@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import EPS_ADVANCE, RayStatus
 from ..accel.candidates import N_ATTR
+from .mathx import atan2_poly
 
 Array = jnp.ndarray
 
@@ -307,10 +308,11 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     nz = (hz_ - t_st["g2"]) * t_st["g3"]
     if want_uv:
         # sphere equirect uv from the UNFLIPPED (hit-c)/r direction
-        # (entity_sphere.ts:98-101 -> uv_mapping.ts:19-25)
+        # (entity_sphere.ts:98-101 -> uv_mapping.ts:19-25); atan2 via the
+        # octant-reduced polynomial (Mosaic has no atan2 lowering)
         eps_uv = 2.0 ** -52
-        u_out = (jnp.arctan2(ny, nx) / (2.0 * np.pi) + 0.5 - eps_uv)
-        v_out = (jnp.arctan2(nz, jnp.sqrt(nx * nx + ny * ny)) / np.pi
+        u_out = (atan2_poly(ny, nx) / (2.0 * np.pi) + 0.5 - eps_uv)
+        v_out = (atan2_poly(nz, jnp.sqrt(nx * nx + ny * ny)) / np.pi
                  + 0.5 - eps_uv)
     else:
         u_out = zero
@@ -387,6 +389,13 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     flip = jnp.where(do_flip & (dx * nx + dy * ny + dz * nz > 0.0),
                      -1.0, 1.0)
     nx, ny, nz = nx * flip, ny * flip, nz * flip
+    # normalize: the sphere normal (hit - c) * inv_r inherits the hit-t
+    # rounding error amplified by 1/r — without this, reflections drift the
+    # direction norm by ~1e-4 on small spheres and the unit-|d| sphere
+    # quadratic then systematically flips grazing hits vs the XLA path
+    # (which normalizes in ops/intersect.*_surface)
+    n_inv = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * n_inv, ny * n_inv, nz * n_inv
 
     # ---- resolution (exactness under truncated candidate lists) ---------
     # a found hit is final iff it precedes every dropped candidate's lower

@@ -8,6 +8,7 @@ for the screen/compositing layer.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -54,4 +55,5 @@ def overlay_color(top: Array, bottom: Array) -> Array:
 def luma(c: Array) -> Array:
     """BT.601 luminance of RGB(A) (exposure_buffer.ts:161-173)."""
     w = jnp.asarray([0.299, 0.587, 0.114], c.dtype)
-    return jnp.einsum("...c,c->...", c[..., :3], w)
+    return jnp.einsum("...c,c->...", c[..., :3], w,
+                      precision=jax.lax.Precision.HIGHEST)

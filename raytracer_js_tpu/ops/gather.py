@@ -59,7 +59,10 @@ def gather_rows(table: Array, idx: Array) -> Array:
         return jnp.take(table, idx, axis=0)
     tab2 = table[:, None] if table.ndim == 1 else table
     oh = jax.nn.one_hot(idx, k, dtype=tab2.dtype)          # [N, K]
-    out = oh @ tab2                                        # MXU
+    # HIGHEST: default TPU matmul precision rounds the table operand to
+    # bf16 (0.6 -> 0.6015625), silently corrupting float columns; the
+    # 3-pass f32 split reproduces one-hot selection exactly
+    out = jnp.matmul(oh, tab2, precision=jax.lax.Precision.HIGHEST)
     return out[..., 0] if table.ndim == 1 else out
 
 
@@ -81,7 +84,8 @@ def gather_cols(idx: Array, *tables: Array) -> tuple:
         widths.append(t2.shape[1])
     cat = jnp.concatenate(cols, axis=1)                    # [K, sum]
     oh = jax.nn.one_hot(idx, k, dtype=jnp.float32)
-    out = oh @ cat                                         # [N, sum]
+    # HIGHEST: see gather_rows — exact f32 selection on the MXU
+    out = jnp.matmul(oh, cat, precision=jax.lax.Precision.HIGHEST)
     res = []
     off = 0
     for t, w in zip(tables, widths):

@@ -24,6 +24,7 @@ capability — the reference's triangle entity is an empty stub
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .vecmath import cross, dot, normalize, uv_map_sphere
@@ -59,8 +60,12 @@ def sphere_hit_t(org: Array, dir: Array, center: Array, radius: Array) -> Array:
     """
     if center.shape[0] == 0:
         return jnp.full((org.shape[0], 0), INF, org.dtype)
-    d_dot_c = dir @ center.T                      # [N, S]
-    o_dot_c = org @ center.T                      # [N, S]
+    # HIGHEST precision: the default TPU matmul rounds operands to bf16
+    # (~0.4% error) — far beyond the 1e-4 golden contract for hit params
+    d_dot_c = jnp.matmul(dir, center.T,
+                         precision=jax.lax.Precision.HIGHEST)  # [N, S]
+    o_dot_c = jnp.matmul(org, center.T,
+                         precision=jax.lax.Precision.HIGHEST)  # [N, S]
     o_dot_d = dot(org, dir)[:, None]              # [N, 1]
     o_dot_o = dot(org, org)[:, None]              # [N, 1]
     a = dot(dir, dir)[:, None]                    # [N, 1] (1 for unit dirs)

@@ -73,8 +73,13 @@ def hash_u32(seed: Array, rid: Array, bounce: Array, salt: int) -> Array:
 
 
 def uniform01(bits: Array) -> Array:
-    """uint32 bits -> f32 uniform in [0, 1) (24-bit mantissa path)."""
-    return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """uint32 bits -> f32 uniform in [0, 1) (24-bit mantissa path).
+
+    The high 24 bits go through int32 (exact below 2^24): Mosaic has no
+    uint32 -> f32 cast, and the int32 route is bit-identical on XLA too.
+    """
+    return ((bits >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(1.0 / (1 << 24)))
 
 
 def ray_uniform(seed: Array, rid: Array, bounce: Array, salt: int) -> Array:

@@ -41,6 +41,11 @@ Array = jnp.ndarray
 #: packet size — must equal the wavefront kernel's ray tile
 PACKET = tt.WAVE_SUB * tt.LANE
 
+#: packets per compaction segment: each round's per-packet work runs under
+#: a lax.cond per segment, skipped entirely when the segment has no ALIVE
+#: ray (live rays sort to the front, so cost ~ live wavefront size)
+SEG_PACKETS = int(__import__("os").environ.get("RT_TILED_SEG", "128"))
+
 
 def supports(scene: Scene) -> bool:
     """Wider than the fused kernel: image textures and image skies are
@@ -161,29 +166,76 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     dir_s = jnp.stack(flat_s[3:6], axis=-1)
     alive_s = flat_s[10] == int(RayStatus.ALIVE)
 
-    tab, cnts, t_safe = cand.packet_candidates(
-        scene, org_s, dir_s, alive_s, PACKET, c_max, t_done=t_done_s)
-    cols_s = [f.reshape(rows, tt.LANE) for f in flat_s[:11]]
-    outs = tt.wave_bounce(scene, cols_s, tab, cnts, c_max,
-                          interpret=interpret)
-    new_flat = [o.reshape(-1) for o in outs[:11]]
-    pid_o = outs[12].reshape(-1)
+    # --- segment-cond compaction: live rays sorted to the front, so the
+    # expensive per-packet work (cone tests + nearest-c_max selection +
+    # table pack + wave kernel) runs ONLY for segments containing a live
+    # ray. After bounce 0 most of the frame has terminated — dead segments
+    # cost one predicate each, making round cost proportional to the live
+    # wavefront instead of the full frame (the r2 on-chip regression:
+    # 3 rounds x full-frame packet prep = 6.7 s/frame at config 4).
+    n_packets = rows // tt.WAVE_SUB
+    seg_pk = min(SEG_PACKETS, n_packets)
+    new_flat = [jnp.zeros((0,), f.dtype) for f in flat_s[:11]]
+    pid_parts, u_parts, v_parts, tsr_parts = [], [], [], []
+    lo = 0
+    while lo < n_packets:
+        hi = min(lo + seg_pk, n_packets)
+        r0, r1 = lo * tt.WAVE_SUB, hi * tt.WAVE_SUB
+        i0, i1 = r0 * tt.LANE, r1 * tt.LANE
+        seg_cols = tuple(f[i0:i1] for f in flat_s[:11])
+        seg_alive = alive_s[i0:i1]
+        seg_org, seg_dir = org_s[i0:i1], dir_s[i0:i1]
+        seg_tdone = t_done_s[i0:i1]
+        seg_n = i1 - i0
+
+        def do_seg(args, r0=r0, r1=r1):
+            seg_cols, seg_org, seg_dir, seg_alive, seg_tdone = args
+            tab, cnts, t_safe = cand.packet_candidates(
+                scene, seg_org, seg_dir, seg_alive, PACKET, c_max,
+                t_done=seg_tdone)
+            cols2 = [c.reshape(r1 - r0, tt.LANE) for c in seg_cols]
+            outs = tt.wave_bounce(scene, cols2, tab, cnts, c_max,
+                                  interpret=interpret)
+            o0_ray = jnp.repeat(cnts[:, 4:7], PACKET, axis=0)
+            d_c = jnp.linalg.norm(seg_org - o0_ray, axis=-1)
+            t_safe_ray = jnp.repeat(t_safe, PACKET) - d_c
+            return (tuple(o.reshape(-1) for o in outs[:11]),
+                    outs[12].reshape(-1), outs[13].reshape(-1),
+                    outs[14].reshape(-1), t_safe_ray)
+
+        def skip_seg(args, seg_n=seg_n):
+            seg_cols, *_ = args
+            return (seg_cols, jnp.full((seg_n,), -1, jnp.int32),
+                    jnp.zeros((seg_n,), jnp.float32),
+                    jnp.zeros((seg_n,), jnp.float32),
+                    jnp.zeros((seg_n,), jnp.float32))
+
+        outs = jax.lax.cond(
+            jnp.any(seg_alive), do_seg, skip_seg,
+            (seg_cols, seg_org, seg_dir, seg_alive, seg_tdone))
+        new_flat = [jnp.concatenate([a, b])
+                    for a, b in zip(new_flat, outs[0])]
+        pid_parts.append(outs[1])
+        u_parts.append(outs[2])
+        v_parts.append(outs[3])
+        tsr_parts.append(outs[4])
+        lo = hi
+    pid_o = jnp.concatenate(pid_parts)
+    t_safe_ray = jnp.concatenate(tsr_parts)
+
     if scene.textures.has_images:
         colors = jnp.stack(new_flat[6:9], axis=-1)
         dirs_o = jnp.stack(new_flat[3:6], axis=-1)
         colors = _apply_images(scene, colors, dirs_o, new_flat[10], alive_s,
-                               pid_o, outs[13].reshape(-1),
-                               outs[14].reshape(-1))
+                               pid_o, jnp.concatenate(u_parts),
+                               jnp.concatenate(v_parts))
         new_flat[6:9] = [colors[:, 0], colors[:, 1], colors[:, 2]]
     # bookkeeping: a resolved hit reports pid >= 0; an ALIVE ray with
     # pid < 0 is unresolved (raise its cleared horizon to the PER-RAY
-    # sharpened bound t_safe + max(ro - d_centroid, 0), mirroring the
-    # kernel's resolution test)
+    # sharpened bound t_safe - d_centroid, mirroring the kernel's
+    # resolution test)
     res_hit = pid_o >= 0
     unres = alive_s & ~res_hit & (new_flat[10] == int(RayStatus.ALIVE))
-    o0_ray = jnp.repeat(cnts[:, 4:7], PACKET, axis=0)
-    d_c = jnp.linalg.norm(org_s - o0_ray, axis=-1)
-    t_safe_ray = jnp.repeat(t_safe, PACKET) - d_c
     t_done_s = jnp.where(unres, jnp.maximum(t_done_s, t_safe_ray), t_done_s)
     new_flat += [t_done_s, res_hit.astype(jnp.int32)]
     # un-sort by the carried original positions (multi-operand sort again)
@@ -202,8 +254,10 @@ def _epilogue(cr, cg, cb, path, status, atten):
     return cr * scale, cg * scale, cb * scale, status
 
 
-#: extra retry rounds beyond refmax-1 for unresolved (truncated-list) rays
-EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "2"))
+#: extra retry rounds beyond refmax-1 for unresolved (truncated-list) rays.
+#: Segment-cond compaction makes retry rounds cost ~ the unresolved
+#: minority, so the default leans high — "unresolved" in the diag must be 0
+EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "6"))
 #: scenes up to this many prims get a guaranteed-exact FINAL rescue round
 #: with untruncated per-packet lists (t_safe = inf resolves every ray);
 #: bounded by the VMEM footprint of a full [P, N_ATTR] candidate block
@@ -271,12 +325,28 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             rounds += [full] * (cfg.refmax - 1)
         for c_round in rounds:
             status_f = cols[10].reshape(-1)
+            working = ((status_f == int(RayStatus.ALIVE))
+                       & (bounce < cfg.refmax))
             capped = ((status_f == int(RayStatus.ALIVE))
                       & (bounce >= cfg.refmax))
             status_in = jnp.where(capped, _CAP, status_f)
             cols[10] = status_in.reshape(rows, tt.LANE)
-            cols, t_done, res_hit = packet_bounce(
-                scene, cols, c_round, t_done, interpret=interpret)
+
+            # whole-round skip: once every ray is resolved the remaining
+            # retry rounds cost one reduction each (the global packet sorts
+            # are inside the cond)
+            def run(args, c_round=c_round):
+                cols, t_done = args
+                return packet_bounce(scene, cols, c_round, t_done,
+                                     interpret=interpret)
+
+            def skip(args):
+                cols, t_done = args
+                n_ = t_done.shape[0]
+                return cols, t_done, jnp.zeros((n_,), bool)
+
+            cols, t_done, res_hit = jax.lax.cond(
+                jnp.any(working), run, skip, (cols, t_done))
             status_o = cols[10].reshape(-1)
             # a resolved hit that continues costs one bounce
             bounce = bounce + jnp.where(

@@ -18,6 +18,7 @@ caches that are read but never written (exposure_buffer.ts:93-107).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -76,7 +77,7 @@ def accumulate(buf: ExposureBuffer, frame: Array) -> ExposureBuffer:
 def luma(pixels: Array) -> Array:
     """BT.601 Y' per pixel (exposure_buffer.ts:161-173)."""
     w = jnp.asarray(LUMA_W, pixels.dtype)
-    return pixels @ w
+    return jnp.matmul(pixels, w, precision=jax.lax.Precision.HIGHEST)
 
 
 def luma_mean(buf: ExposureBuffer) -> Array:
