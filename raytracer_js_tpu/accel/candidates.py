@@ -140,8 +140,14 @@ def _shade_cols_np(scene: Scene, pid: np.ndarray) -> np.ndarray:
     cont = (np.asarray(mat.mirror)[mat_id]
             & (np.asarray(mat.response)[mat_id]
                == int(ResponseType.REFLECTION)) & ~light)
-    return np.concatenate(
-        [rgb, (2.0 * light + 1.0 * cont)[:, None]], axis=1).astype(np.float32)
+    mode = 2.0 * light + 1.0 * cont
+    if scene.has_transmission:
+        # 3 = transmission continuation (the glue refracts; the kernel
+        # leaves org/dir for it) — mirrors trace_fused._pack_prims
+        trans = ((np.asarray(mat.response)[mat_id]
+                  == int(ResponseType.TRANSMISSION)) & ~light)
+        mode = mode + 3.0 * trans
+    return np.concatenate([rgb, mode[:, None]], axis=1).astype(np.float32)
 
 
 def pack_candidate_attrs_np(scene: Scene, pid: np.ndarray, t_lo: np.ndarray
@@ -479,7 +485,12 @@ def prim_attr_table_jnp(scene: Scene) -> Array:
     light = mat.light[mid]
     cont = (mat.mirror[mid]
             & (mat.response[mid] == int(ResponseType.REFLECTION)) & ~light)
-    mode = (2.0 * light + 1.0 * cont)[:, None]
+    mode = 2.0 * light + 1.0 * cont
+    if scene.has_transmission:
+        trans = ((mat.response[mid] == int(ResponseType.TRANSMISSION))
+                 & ~light)
+        mode = mode + 3.0 * trans
+    mode = mode[:, None]
 
     geos = []
     if scene.n_spheres:

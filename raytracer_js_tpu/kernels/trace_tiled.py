@@ -85,7 +85,8 @@ def _pad_chunk(x):
 def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
                  ox, oy, oz, dx, dy, dz, col_r, col_g, col_b,
                  path, status, sky_r, sky_g, sky_b,
-                 want_uv=False, sky_solid=True):
+                 want_uv=False, sky_solid=True, has_trans=False,
+                 want_normal=False):
     """One traverse->intersect->shade->respawn pass over one ray tile.
 
     ``tab`` is the tile's [c_max, N_ATTR] candidate ref (see
@@ -410,10 +411,14 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     t_exit_bb = jnp.minimum(jnp.minimum(ex_x, ex_y), ex_z)
 
     # ---- shade + respawn (raytracer.ts:166-277 via ops/trace._bounce) ----
+    # mode decode: 0 keep, 1 mirror continuation, 2 emissive,
+    # 3 transmission continuation (glue-refracted: the kernel modulates
+    # color and path but leaves org/dir/status for render_tiled's glue)
     hit = alive & (jwin >= 0) & (t_best <= t_safe_ray)
-    lit = hit & (w_mode > 1.5)
-    cont = hit & (w_mode > 0.5) & ~lit
-    keep = hit & ~lit & ~cont
+    lit = hit & (w_mode > 1.5) & (w_mode < 2.5)
+    cont = hit & (w_mode > 0.5) & (w_mode < 1.5)
+    cont_t = (hit & (w_mode > 2.5)) if has_trans else jnp.zeros(shape, bool)
+    keep = hit & ~lit & ~cont & ~cont_t
     miss = alive & (jwin < 0) & (t_safe_ray > t_exit_bb)
 
     if sky_solid:
@@ -444,14 +449,18 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     dy = jnp.where(cont, rdy, dy)
     dz = jnp.where(cont, rdz, dz)
     pid_out = jnp.where(hit, pid, -1)
-    return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-            t_best, pid_out, u_out, v_out)
+    out = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
+           t_best, pid_out, u_out, v_out)
+    if want_normal:
+        # flipped winner normal for the glue's scatter/refract (rough and
+        # transmission scenes)
+        out = out + (nx, ny, nz)
+    return out
 
 
-def _frame_kernel(cam_ref, cnt_ref, tab_ref,
-                  ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                  cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o, u_o, v_o,
-                  *, c_max, want_uv, sky_solid):
+def _frame_kernel(cam_ref, cnt_ref, tab_ref, *refs,
+                  c_max, want_uv, sky_solid, has_trans=False,
+                  want_normal=False):
     """Bounce-0 frame entry: rays generated in-register from the camera pose
     (the equiangular closed form of models/camera.pixel_rays, exactly as
     trace_fused._trace_frame_kernel)."""
@@ -493,21 +502,19 @@ def _frame_kernel(cam_ref, cnt_ref, tab_ref,
         jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
         status0,
         cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
-        want_uv=want_uv, sky_solid=sky_solid)
-    for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
-                         u_o, v_o), out):
+        want_uv=want_uv, sky_solid=sky_solid, has_trans=has_trans,
+        want_normal=want_normal)
+    for ref, val in zip(refs, out):
         ref[:, :] = val
 
 
-def _wave_kernel(cam_ref, cnt_ref, tab_ref,
-                 ox_i, oy_i, oz_i, dx_i, dy_i, dz_i,
-                 cr_i, cg_i, cb_i, path_i, st_i,
-                 ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                 cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o, u_o, v_o,
-                 *, c_max, want_uv, sky_solid):
-    """Wavefront entry: one bounce of an arbitrary (packetized) wavefront."""
+def _wave_kernel(cam_ref, cnt_ref, tab_ref, *refs,
+                 c_max, want_uv, sky_solid, has_trans=False,
+                 want_normal=False):
+    """Wavefront entry: one bounce of an arbitrary (packetized) wavefront.
+    ``refs`` = 11 input state refs then the 15 (+3 normal) output refs."""
     row = pl.program_id(0)
+    ins, outs = refs[:11], refs[11:]
     out = _bounce_tile(
         tab_ref, cnt_ref[row, 0].astype(jnp.int32),
         cnt_ref[row, 1].astype(jnp.int32),
@@ -516,13 +523,11 @@ def _wave_kernel(cam_ref, cnt_ref, tab_ref,
          cnt_ref[row, 6], cnt_ref[row, 7]),
         (cam_ref[0, 21], cam_ref[0, 22], cam_ref[0, 23]),
         (cam_ref[0, 24], cam_ref[0, 25], cam_ref[0, 26]), c_max,
-        ox_i[:, :], oy_i[:, :], oz_i[:, :], dx_i[:, :], dy_i[:, :],
-        dz_i[:, :], cr_i[:, :], cg_i[:, :], cb_i[:, :], path_i[:, :],
-        st_i[:, :], cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
-        want_uv=want_uv, sky_solid=sky_solid)
-    for ref, val in zip((ox_o, oy_o, oz_o, dx_o, dy_o, dz_o,
-                         cr_o, cg_o, cb_o, path_o, st_o, t_o, pid_o,
-                         u_o, v_o), out):
+        *(r[:, :] for r in ins),
+        cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
+        want_uv=want_uv, sky_solid=sky_solid, has_trans=has_trans,
+        want_normal=want_normal)
+    for ref, val in zip(outs, out):
         ref[:, :] = val
 
 
@@ -554,11 +559,13 @@ def _cam_array(cam, sky_rgb, bb_lo, bb_hi) -> Array:
 
 @functools.partial(jax.jit, static_argnames=("nby", "nbx", "c_max",
                                              "want_uv", "sky_solid",
+                                             "has_trans", "want_normal",
                                              "interpret"))
 def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, want_uv, sky_solid,
-                interpret=False):
+                has_trans=False, want_normal=False, interpret=False):
     kern = functools.partial(_frame_kernel, c_max=c_max, want_uv=want_uv,
-                             sky_solid=sky_solid)
+                             sky_solid=sky_solid, has_trans=has_trans,
+                             want_normal=want_normal)
     tile = pl.BlockSpec((TILE_SUB, LANE), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     cam_spec = pl.BlockSpec(cam_arr.shape, lambda i, j: (0, 0),
@@ -571,25 +578,31 @@ def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, want_uv, sky_solid,
     h_pad, w_pad = nby * TILE_SUB, nbx * LANE
     f32 = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     i32 = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)
+    n_out = 18 if want_normal else 15
+    shapes = [f32] * 10 + [i32, f32, i32, f32, f32] + [f32] * (n_out - 15)
     return pl.pallas_call(
         kern,
         grid=(nby, nbx),
         in_specs=[cam_spec, cnt_spec, tab_spec],
-        out_specs=[tile] * 15,
-        out_shape=[f32] * 10 + [i32, f32, i32, f32, f32],
+        out_specs=[tile] * n_out,
+        out_shape=shapes,
         interpret=interpret,
     )(cam_arr, cnts, tab)
 
 
 @functools.partial(jax.jit, static_argnames=("c_max", "want_uv",
-                                             "sky_solid", "interpret"))
+                                             "sky_solid", "has_trans",
+                                             "want_normal", "wave_sub",
+                                             "interpret"))
 def _wave_call(cam_arr, cnts, tab, cols, c_max, want_uv, sky_solid,
+               has_trans=False, want_normal=False, wave_sub=WAVE_SUB,
                interpret=False):
     kern = functools.partial(_wave_kernel, c_max=c_max, want_uv=want_uv,
-                             sky_solid=sky_solid)
+                             sky_solid=sky_solid, has_trans=has_trans,
+                             want_normal=want_normal)
     rows = cols[0].shape[0]
-    nblk = rows // WAVE_SUB
-    tile = pl.BlockSpec((WAVE_SUB, LANE), lambda i: (i, 0),
+    nblk = rows // wave_sub
+    tile = pl.BlockSpec((wave_sub, LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     cam_spec = pl.BlockSpec(cam_arr.shape, lambda i: (0, 0),
                             memory_space=pltpu.SMEM)
@@ -599,18 +612,29 @@ def _wave_call(cam_arr, cnts, tab, cols, c_max, want_uv, sky_solid,
                             memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    n_out = 18 if want_normal else 15
+    shapes = [f32] * 10 + [i32, f32, i32, f32, f32] + [f32] * (n_out - 15)
     return pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[cam_spec, cnt_spec, tab_spec] + [tile] * 11,
-        out_specs=[tile] * 15,
-        out_shape=[f32] * 10 + [i32, f32, i32, f32, f32],
+        out_specs=[tile] * n_out,
+        out_shape=shapes,
         interpret=interpret,
     )(cam_arr, cnts, tab, *cols)
 
 
 STATE_NAMES = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
-               "path", "status", "t", "pid", "u", "v")
+               "path", "status", "t", "pid", "u", "v", "nx", "ny", "nz")
+
+
+def _flags(scene):
+    """Static kernel flags for a scene: (want_uv, sky_solid, has_trans,
+    want_normal)."""
+    has_img = scene.textures.has_images
+    want_n = bool(scene.has_rough or scene.has_transmission)
+    return dict(want_uv=has_img, sky_solid=not has_img,
+                has_trans=bool(scene.has_transmission), want_normal=want_n)
 
 
 def frame_bounce0(scene, cam, tab, cnts, c_max, interpret=None):
@@ -624,23 +648,23 @@ def frame_bounce0(scene, cam, tab, cnts, c_max, interpret=None):
         interpret = jax.default_backend() != "tpu"
     nbx = -(-cam.w // LANE)
     nby = -(-cam.h // TILE_SUB)
-    has_img = scene.textures.has_images
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     bb_lo, bb_hi = _scene_bbox(scene)
     cam_arr = _cam_array(cam, sky_rgb, bb_lo, bb_hi)
     outs = _frame_call(cam_arr, cnts, tab, nby, nbx, c_max,
-                       want_uv=has_img, sky_solid=not has_img,
-                       interpret=interpret)
+                       **_flags(scene), interpret=interpret)
     return dict(zip(STATE_NAMES, outs))
 
 
-def wave_bounce(scene, cols, tab, cnts, c_max, interpret=None):
+def wave_bounce(scene, cols, tab, cnts, c_max, wave_sub=WAVE_SUB,
+                interpret=None):
     """One bounce of a packetized wavefront. ``cols`` is the 11-tuple
     (ox..dz, cr, cg, cb, path, status) of [rows, 128] arrays; returns the
-    15-tuple including (t, pid, u, v)."""
+    15-tuple including (t, pid, u, v) (+3 normals for glue scenes).
+    ``wave_sub`` is the packet height in sublanes (packet = wave_sub*128
+    rays) — retry rounds use 1 for tight straggler packets."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    has_img = scene.textures.has_images
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     bb_lo, bb_hi = _scene_bbox(scene)
     # camera pose slots unused by the wavefront entry; sky + bbox are read
@@ -652,5 +676,5 @@ def wave_bounce(scene, cols, tab, cnts, c_max, interpret=None):
         jnp.asarray(bb_hi, jnp.float32).reshape(3),
         jnp.zeros((TCAM_SLOTS - 27,), jnp.float32)]).reshape(1, TCAM_SLOTS)
     return _wave_call(cam_arr, cnts, tab, tuple(cols), c_max,
-                      want_uv=has_img, sky_solid=not has_img,
+                      wave_sub=wave_sub, **_flags(scene),
                       interpret=interpret)

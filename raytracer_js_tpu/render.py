@@ -105,9 +105,19 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
     if cfg.backend == HitBackend.TILED:
         from . import render_tiled as rtl
 
-        if rtl.supports(scene):
-            return rtl.render_frame_tiled(scene, cfg, camera, tables=tables)
-        cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
+        if tables is None:
+            tables = rtl.frame_tables(scene, camera)
+
+        def one_tiled(s):
+            return rtl.render_frame_tiled(scene, cfg, camera, tables=tables,
+                                          key=key, sample=s, accel=accel)
+
+        if cfg.spp == 1 or not scene.has_rough:
+            return one_tiled(0)
+        acc = jax.lax.fori_loop(
+            0, cfg.spp, lambda s, a: a + one_tiled(s),
+            jnp.zeros((camera.h, camera.w, 3), jnp.float32))
+        return acc / cfg.spp
     if cfg.backend == HitBackend.FUSED:
         from .kernels import trace_fused
 

@@ -48,10 +48,11 @@ SEG_PACKETS = int(__import__("os").environ.get("RT_TILED_SEG", "128"))
 
 
 def supports(scene: Scene) -> bool:
-    """Wider than the fused kernel: image textures and image skies are
-    handled (uv computed in-kernel, sampling applied in the XLA glue);
-    transmission and roughness still route to the wavefront path."""
-    return not scene.has_transmission and not scene.has_rough
+    """The full shading model: image textures/skies (uv in-kernel, atlas
+    sampling in the XLA glue), roughness (counter-RNG scatter in the glue,
+    same streams as every other backend) and transmission (grid-accelerated
+    substance point query + Snell/TIR in the glue) are all handled."""
+    return True
 
 
 def frame_tables(scene: Scene, cam):
@@ -66,6 +67,50 @@ def _dir_bin(d: Array) -> Array:
     return (q[:, 0] * 4 + q[:, 1]) * 4 + q[:, 2]
 
 
+def _spread3(x: Array) -> Array:
+    """Spread the low 8 bits of x so consecutive bits land 3 apart
+    (Part1By2 magic) — uint32 in/out."""
+    x = x.astype(jnp.uint32) & jnp.uint32(0xFF)
+    x = (x * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    x = (x * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    x = (x * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    x = (x * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return x
+
+
+def _morton_key(scene: Scene, org: Array, bits: int = 8) -> Array:
+    """Fine Morton code of ray positions over the robust extent -> i32.
+
+    Retry rounds bin stragglers by THIS key alone: consecutive rays in a
+    Morton range are spatially compact, which bounds every packet's
+    centroid distance d_c — the stall condition of the resolution rounds
+    was sprawling leftover packets (ro ~ 20) whose far rays had
+    t_safe - d_c <= 0 forever. Direction is irrelevant here: divergent
+    packets measure cos_t ~ -1, so candidate selection is a centroid
+    ball-wave either way.
+    """
+    lo, hi = _robust_extent(scene)
+    rel = (org - lo) / jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((rel * (1 << bits)).astype(jnp.int32), 0, (1 << bits) - 1)
+    code = (_spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1)
+            | (_spread3(q[:, 2]) << 2))
+    return code.astype(jnp.int32)
+
+
+def _robust_extent(scene: Scene):
+    """(lo, hi) of the SMALL-primitive population (huge straddlers like the
+    ground box excluded — they would flatten every quantization)."""
+    centers, radii = cand.bounding_spheres_jnp(scene)
+    med = jnp.median(radii) if radii.shape[0] else jnp.float32(1.0)
+    small = radii <= 8.0 * med + 1e-12
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(small[:, None], centers - radii[:, None], big),
+                 axis=0)
+    hi = jnp.max(jnp.where(small[:, None], centers + radii[:, None], -big),
+                 axis=0)
+    return lo, hi
+
+
 def _pos_cell(scene: Scene, org: Array, grid: int = 16) -> Array:
     """Binning cell over the SMALL-primitive population bounds.
 
@@ -75,14 +120,7 @@ def _pos_cell(scene: Scene, org: Array, grid: int = 16) -> Array:
     the resolution bound would pin at 0 — the octree root build uses the
     same robust-extent heuristic (accel/octree.build_octree).
     """
-    centers, radii = cand.bounding_spheres_jnp(scene)
-    med = jnp.median(radii) if radii.shape[0] else jnp.float32(1.0)
-    small = radii <= 8.0 * med + 1e-12
-    big = jnp.float32(1e30)
-    lo = jnp.min(jnp.where(small[:, None], centers - radii[:, None], big),
-                 axis=0)
-    hi = jnp.max(jnp.where(small[:, None], centers + radii[:, None], -big),
-                 axis=0)
+    lo, hi = _robust_extent(scene)
     rel = (org - lo) / jnp.maximum(hi - lo, 1e-20)
     q = jnp.clip((rel * grid).astype(jnp.int32), 0, grid - 1)
     return (q[:, 0] * grid + q[:, 1]) * grid + q[:, 2]
@@ -112,12 +150,73 @@ def _apply_images(scene: Scene, colors, dirs, status, prev_alive, pid, u, v):
     return jnp.where(newly_miss[:, None], colors * sky, colors)
 
 
+def _respawn_glue(scene: Scene, accel, seed, rid, bounce, refr,
+                  org, dirs, status, pid, t, nrm):
+    """Rough-scatter and transmission continuation fixups for one bounce.
+
+    The tiled kernel respawns mirror continuations in-kernel (pure
+    reflection) and leaves transmission continuations (mode 3) completely
+    untouched; this glue — mirroring ops/trace._bounce exactly —
+
+    * replaces the reflected direction with the counter-RNG scatter for
+      rough mirror winners (same (seed, rid, bounce) streams as the
+      XLA/fused paths -> cross-backend parity), re-advancing the origin
+      along the scattered direction;
+    * advances + refracts transmission winners: eps-advance along the OLD
+      direction, innermost-containment substance query at the advanced
+      point (octree grid candidates when ``accel`` is given — mandatory at
+      large prim counts), Snell + TIR via ops/vecmath.refract.
+
+    ``org``/``dirs`` are the kernel outputs [n, 3]; ``nrm`` is the flipped
+    winner normal; ``refr`` the per-ray refractive index. Returns
+    ``(org, dirs, refr)``.
+    """
+    from .config import EPS_ADVANCE, ResponseType
+    from .ops import sampling
+    from .ops.trace import substance_refr_at
+    from .ops.vecmath import refract
+
+    alive = status == int(RayStatus.ALIVE)
+    cont = alive & (pid >= 0)
+    pid_c = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
+    mat_id = scene.prim_material[pid_c]
+    mat = scene.materials
+    resp = mat.response[mat_id]
+    if scene.has_rough:
+        rough = mat.roughness[mat_id]
+        m_r = (cont & (resp == int(ResponseType.REFLECTION))
+               & mat.mirror[mat_id] & (rough > 0.0))
+        # invert the kernel's eps-advance to recover the hit point
+        hit = org - EPS_ADVANCE * dirs
+        scat = sampling.scatter_direction(seed, rid, bounce, dirs, nrm,
+                                          rough)
+        dirs = jnp.where(m_r[:, None], scat, dirs)
+        org = jnp.where(m_r[:, None], hit + EPS_ADVANCE * scat, org)
+    if scene.has_transmission:
+        is_t = cont & (resp == int(ResponseType.TRANSMISSION))
+        # org/dirs are untouched by the kernel for mode-3 winners
+        hit = org + t[:, None] * dirs
+        adv = hit + EPS_ADVANCE * dirs
+        target, do_refract = substance_refr_at(scene, adv, refr,
+                                               accel=accel)
+        eta = refr / jnp.maximum(target, 1e-6)
+        refr_dir, _tir = refract(dirs, nrm, eta)
+        new_dir = jnp.where(do_refract[:, None], refr_dir, dirs)
+        new_refr = jnp.where(do_refract, target, refr)
+        dirs = jnp.where(is_t[:, None], new_dir, dirs)
+        org = jnp.where(is_t[:, None], adv, org)
+        refr = jnp.where(is_t, new_refr, refr)
+    return org, dirs, refr
+
+
 #: internal status marking rays at the bounce cap so the kernel ignores
 #: them without losing their ALIVE-ness (mapped back after each round)
 _CAP = 7
 
 
 def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
+                  rng=None, accel=None, wave_sub: Optional[int] = None,
+                  fine_key: bool = False,
                   interpret: Optional[bool] = None):
     """One ROUND of the divergent-bounce loop: sort active rays into
     coherent packets, build per-packet candidate tables on device, advance
@@ -128,8 +227,16 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     (status may carry the _CAP sentinel — those rays pass through).
     ``t_done`` [n] is each ray's proven-clear horizon; unresolved rays get
     it raised to the packet's t_safe so retry rounds make strict progress.
-    Returns (new cols, new t_done, resolved_hit [n] bool).
+    ``rng`` = (seed, rid [n], bounce [n], refr [n]) for rough/transmission
+    scenes (the glue's draw coordinates and per-ray substance state);
+    ``accel`` feeds the substance point query. ``wave_sub`` overrides the
+    packet height (kernels/trace_tiled.WAVE_SUB); ``fine_key`` bins purely
+    by fine Morton position (retry rounds — see _morton_key).
+    Returns (new cols, new t_done, resolved_hit [n] bool, new refr [n]).
     """
+    if wave_sub is None:
+        wave_sub = tt.WAVE_SUB
+    packet = wave_sub * tt.LANE
     rows = cols[0].shape[0]
     flat = [c.reshape(-1) for c in cols]
     org = jnp.stack(flat[0:3], axis=-1)
@@ -141,25 +248,30 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     # and retry rounds re-select the same candidates forever. Scale from the
     # SMALL-prim population extent (a huge straddler would flatten the
     # quantization to one bucket).
-    centers, radii = cand.bounding_spheres_jnp(scene)
-    med = jnp.median(radii) if radii.shape[0] else jnp.float32(1.0)
-    small = radii <= 8.0 * med + 1e-12
-    big_f = jnp.float32(1e30)
-    s_lo = jnp.min(jnp.where(small[:, None], centers - radii[:, None],
-                             big_f), axis=0)
-    s_hi = jnp.max(jnp.where(small[:, None], centers + radii[:, None],
-                             -big_f), axis=0)
+    s_lo, s_hi = _robust_extent(scene)
     diag = jnp.linalg.norm(s_hi - s_lo) + 1e-6
     qt = jnp.clip((t_done / (diag / 16.0)).astype(jnp.int32), 0, 63)
-    key = ((qt * 4096 + _pos_cell(scene, org)) * 64
-           + _dir_bin(dirs)).astype(jnp.int32)
+    if fine_key:
+        key = (qt << 24) + _morton_key(scene, org)
+    else:
+        key = ((qt * 4096 + _pos_cell(scene, org)) * 64
+               + _dir_bin(dirs)).astype(jnp.int32)
     key = jnp.where(alive, key, jnp.int32(1 << 30))     # inactive rays last
     # multi-operand sort MOVES the state with the keys — 8x cheaper than
     # argsort + 12 permutation gathers (318 ms -> dense bitonic moves)
     n = flat[0].shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    _, inv_pos, *flat_s = jax.lax.sort(
-        (key, idx, *flat, t_done), num_keys=1)
+    need_glue = scene.has_rough or scene.has_transmission
+    if need_glue:
+        seed, rid, bounce, refr = rng
+        _, inv_pos, *flat_s = jax.lax.sort(
+            (key, idx, *flat, t_done, rid, bounce, refr), num_keys=1)
+        rid_s, bounce_s, refr_s = flat_s[12], flat_s[13], flat_s[14]
+    else:
+        _, inv_pos, *flat_s = jax.lax.sort(
+            (key, idx, *flat, t_done), num_keys=1)
+        seed = rid_s = bounce_s = None
+        refr_s = jnp.zeros((n,), jnp.float32)
     t_done_s = flat_s[11]
     flat_s = flat_s[:11]
     org_s = jnp.stack(flat_s[0:3], axis=-1)
@@ -173,55 +285,72 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     # cost one predicate each, making round cost proportional to the live
     # wavefront instead of the full frame (the r2 on-chip regression:
     # 3 rounds x full-frame packet prep = 6.7 s/frame at config 4).
-    n_packets = rows // tt.WAVE_SUB
-    seg_pk = min(SEG_PACKETS, n_packets)
+    n_packets = rows // wave_sub
+    seg_pk = min(SEG_PACKETS * (tt.WAVE_SUB // wave_sub), n_packets)
     new_flat = [jnp.zeros((0,), f.dtype) for f in flat_s[:11]]
-    pid_parts, u_parts, v_parts, tsr_parts = [], [], [], []
+    pid_parts, u_parts, v_parts, tsr_parts, refr_parts = [], [], [], [], []
     lo = 0
     while lo < n_packets:
         hi = min(lo + seg_pk, n_packets)
-        r0, r1 = lo * tt.WAVE_SUB, hi * tt.WAVE_SUB
+        r0, r1 = lo * wave_sub, hi * wave_sub
         i0, i1 = r0 * tt.LANE, r1 * tt.LANE
         seg_cols = tuple(f[i0:i1] for f in flat_s[:11])
         seg_alive = alive_s[i0:i1]
         seg_org, seg_dir = org_s[i0:i1], dir_s[i0:i1]
         seg_tdone = t_done_s[i0:i1]
+        seg_rng = (rid_s[i0:i1], bounce_s[i0:i1]) if need_glue else ()
+        seg_refr = refr_s[i0:i1]
         seg_n = i1 - i0
 
         def do_seg(args, r0=r0, r1=r1):
-            seg_cols, seg_org, seg_dir, seg_alive, seg_tdone = args
+            (seg_cols, seg_org, seg_dir, seg_alive, seg_tdone,
+             seg_rng, seg_refr) = args
             tab, cnts, t_safe = cand.packet_candidates(
-                scene, seg_org, seg_dir, seg_alive, PACKET, c_max,
+                scene, seg_org, seg_dir, seg_alive, packet, c_max,
                 t_done=seg_tdone)
             cols2 = [c.reshape(r1 - r0, tt.LANE) for c in seg_cols]
             outs = tt.wave_bounce(scene, cols2, tab, cnts, c_max,
-                                  interpret=interpret)
-            o0_ray = jnp.repeat(cnts[:, 4:7], PACKET, axis=0)
+                                  wave_sub=wave_sub, interpret=interpret)
+            o0_ray = jnp.repeat(cnts[:, 4:7], packet, axis=0)
             d_c = jnp.linalg.norm(seg_org - o0_ray, axis=-1)
-            t_safe_ray = jnp.repeat(t_safe, PACKET) - d_c
-            return (tuple(o.reshape(-1) for o in outs[:11]),
-                    outs[12].reshape(-1), outs[13].reshape(-1),
-                    outs[14].reshape(-1), t_safe_ray)
+            t_safe_ray = jnp.repeat(t_safe, packet) - d_c
+            fl = [o.reshape(-1) for o in outs[:11]]
+            pid_seg = outs[12].reshape(-1)
+            if need_glue:
+                nrm = jnp.stack([o.reshape(-1) for o in outs[15:18]], -1)
+                org2 = jnp.stack(fl[0:3], -1)
+                dir2 = jnp.stack(fl[3:6], -1)
+                org2, dir2, seg_refr = _respawn_glue(
+                    scene, accel, seed, seg_rng[0], seg_rng[1], seg_refr,
+                    org2, dir2, fl[10], pid_seg,
+                    outs[11].reshape(-1), nrm)
+                fl[0:3] = [org2[:, 0], org2[:, 1], org2[:, 2]]
+                fl[3:6] = [dir2[:, 0], dir2[:, 1], dir2[:, 2]]
+            return (tuple(fl), pid_seg, outs[13].reshape(-1),
+                    outs[14].reshape(-1), t_safe_ray, seg_refr)
 
         def skip_seg(args, seg_n=seg_n):
-            seg_cols, *_ = args
+            seg_cols, _o, _d, _a, _t, _r, seg_refr = args
             return (seg_cols, jnp.full((seg_n,), -1, jnp.int32),
                     jnp.zeros((seg_n,), jnp.float32),
                     jnp.zeros((seg_n,), jnp.float32),
-                    jnp.zeros((seg_n,), jnp.float32))
+                    jnp.zeros((seg_n,), jnp.float32), seg_refr)
 
         outs = jax.lax.cond(
             jnp.any(seg_alive), do_seg, skip_seg,
-            (seg_cols, seg_org, seg_dir, seg_alive, seg_tdone))
+            (seg_cols, seg_org, seg_dir, seg_alive, seg_tdone,
+             seg_rng, seg_refr))
         new_flat = [jnp.concatenate([a, b])
                     for a, b in zip(new_flat, outs[0])]
         pid_parts.append(outs[1])
         u_parts.append(outs[2])
         v_parts.append(outs[3])
         tsr_parts.append(outs[4])
+        refr_parts.append(outs[5])
         lo = hi
     pid_o = jnp.concatenate(pid_parts)
     t_safe_ray = jnp.concatenate(tsr_parts)
+    refr_o = jnp.concatenate(refr_parts)
 
     if scene.textures.has_images:
         colors = jnp.stack(new_flat[6:9], axis=-1)
@@ -237,11 +366,11 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     res_hit = pid_o >= 0
     unres = alive_s & ~res_hit & (new_flat[10] == int(RayStatus.ALIVE))
     t_done_s = jnp.where(unres, jnp.maximum(t_done_s, t_safe_ray), t_done_s)
-    new_flat += [t_done_s, res_hit.astype(jnp.int32)]
+    new_flat += [t_done_s, res_hit.astype(jnp.int32), refr_o]
     # un-sort by the carried original positions (multi-operand sort again)
     _, *unsorted = jax.lax.sort((inv_pos, *new_flat), num_keys=1)
     return ([u.reshape(rows, tt.LANE) for u in unsorted[:11]],
-            unsorted[11], unsorted[12].astype(bool))
+            unsorted[11], unsorted[12].astype(bool), unsorted[13])
 
 
 def _epilogue(cr, cg, cb, path, status, atten):
@@ -267,6 +396,7 @@ MAX_FULL_RESCUE = int(__import__("os").environ.get("RT_TILED_RESCUE",
 
 def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                        tables=None, packet_c_max: int = 4096,
+                       key=None, sample: int = 0, accel=None,
                        interpret: Optional[bool] = None,
                        with_diag: bool = False):
     """Full-frame HDR render via the tiled kernel -> [h, w, 3].
@@ -282,32 +412,68 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
     otherwise).
 
     ``tables`` — optional cached result of :func:`frame_tables`.
+    ``key``/``sample`` seed the counter-RNG streams of rough scenes
+    (rid = (y*w + x)*spp + sample, identical to the other backends);
+    ``accel`` (an OctreeAccel) feeds the transmission substance query —
+    without it the query falls back to the dense containment matrix
+    (fine for small scenes, prohibitive at 100k prims).
     """
+    from .ops import sampling
+
     if tables is None:
         tables = frame_tables(scene, cam)
     tab, cnts, c_max = tables
+    need_glue = scene.has_rough or scene.has_transmission
     st = tt.frame_bounce0(scene, cam, tab, cnts, c_max, interpret=interpret)
+    hp, wp = st["cr"].shape
+    xi = jnp.tile(jnp.arange(wp), hp)
+    yi = jnp.repeat(jnp.arange(hp), wp)
+    valid = (xi < cam.w) & (yi < cam.h)
+    if need_glue:
+        if key is None:
+            key = jax.random.key(0)
+        seed = sampling.seed_from_key(key)
+        rid = jnp.where(valid, (yi * cam.w + xi) * cfg.spp + sample, 0
+                        ).astype(jnp.int32)
+        from .render import start_substance
+
+        refr = jnp.broadcast_to(start_substance(scene, cam.pos), (hp * wp,))
+    else:
+        seed = rid = None
+        refr = jnp.zeros((hp * wp,), jnp.float32)
     if scene.textures.has_images:
-        hp, wp = st["cr"].shape
         flat = {k: st[k].reshape(-1) for k in st}
         # padding pixels started MISS; everything else was ALIVE
-        xi = jnp.tile(jnp.arange(wp), hp)
-        yi = jnp.repeat(jnp.arange(hp), wp)
-        prev_alive = (xi < cam.w) & (yi < cam.h)
         colors = jnp.stack([flat["cr"], flat["cg"], flat["cb"]], -1)
         dirs_o = jnp.stack([flat["dx"], flat["dy"], flat["dz"]], -1)
         colors = _apply_images(scene, colors, dirs_o, flat["status"],
-                               prev_alive, flat["pid"], flat["u"],
+                               valid, flat["pid"], flat["u"],
                                flat["v"])
         st = dict(st, cr=colors[:, 0].reshape(hp, wp),
                   cg=colors[:, 1].reshape(hp, wp),
                   cb=colors[:, 2].reshape(hp, wp))
+    if need_glue:
+        # bounce-0 scatter/refraction continuation fixups (bounce index 0)
+        flat = {k: st[k].reshape(-1) for k in st}
+        org0 = jnp.stack([flat["ox"], flat["oy"], flat["oz"]], -1)
+        dir0 = jnp.stack([flat["dx"], flat["dy"], flat["dz"]], -1)
+        nrm0 = jnp.stack([flat["nx"], flat["ny"], flat["nz"]], -1)
+        org0, dir0, refr = _respawn_glue(
+            scene, accel, seed, rid, jnp.zeros_like(rid), refr,
+            org0, dir0, flat["status"], flat["pid"], flat["t"], nrm0)
+        st = dict(st,
+                  ox=org0[:, 0].reshape(hp, wp),
+                  oy=org0[:, 1].reshape(hp, wp),
+                  oz=org0[:, 2].reshape(hp, wp),
+                  dx=dir0[:, 0].reshape(hp, wp),
+                  dy=dir0[:, 1].reshape(hp, wp),
+                  dz=dir0[:, 2].reshape(hp, wp))
 
     names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
              "path", "status")
     unresolved = jnp.zeros((), jnp.int32)
     if cfg.refmax > 1:
-        h_pad, w_pad = st["cr"].shape
+        h_pad, w_pad = hp, wp
         rows = h_pad * w_pad // tt.LANE
         n = h_pad * w_pad
         cols = [st[k].reshape(rows, tt.LANE) for k in names]
@@ -317,13 +483,19 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         t_done = jnp.zeros((n,), jnp.float32)
         from .accel.candidates import SEG_ALIGN, _pad_align
 
-        rounds = [packet_c_max] * (cfg.refmax - 1 + EXTRA_ROUNDS)
+        # round plan: (c_max, packet height, fine-morton key). Standard
+        # rounds use full packets + (cell, dir) binning; retry rounds use
+        # 128-ray Morton-compact packets so straggler packets stay tight
+        # (sprawling leftover packets were the stall mode — their far rays
+        # had t_safe - d_c <= 0 every round).
+        rounds = ([(packet_c_max, tt.WAVE_SUB, False)] * (cfg.refmax - 1)
+                  + [(packet_c_max, 1, True)] * EXTRA_ROUNDS)
         if scene.n_prims <= MAX_FULL_RESCUE:
             # guaranteed-exact finale: untruncated lists -> t_safe = inf.
             # One rescue per remaining bounce (a rescued ray may respawn).
             full = _pad_align(scene.n_prims) + 3 * SEG_ALIGN
-            rounds += [full] * (cfg.refmax - 1)
-        for c_round in rounds:
+            rounds += [(full, 1, True)] * (cfg.refmax - 1)
+        for c_round, wsub, fine in rounds:
             status_f = cols[10].reshape(-1)
             working = ((status_f == int(RayStatus.ALIVE))
                        & (bounce < cfg.refmax))
@@ -335,18 +507,21 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             # whole-round skip: once every ray is resolved the remaining
             # retry rounds cost one reduction each (the global packet sorts
             # are inside the cond)
-            def run(args, c_round=c_round):
-                cols, t_done = args
+            def run(args, c_round=c_round, wsub=wsub, fine=fine,
+                    bounce=bounce):
+                cols, t_done, refr = args
+                rng = ((seed, rid, bounce, refr) if need_glue else None)
                 return packet_bounce(scene, cols, c_round, t_done,
-                                     interpret=interpret)
+                                     rng=rng, accel=accel, wave_sub=wsub,
+                                     fine_key=fine, interpret=interpret)
 
             def skip(args):
-                cols, t_done = args
+                cols, t_done, refr = args
                 n_ = t_done.shape[0]
-                return cols, t_done, jnp.zeros((n_,), bool)
+                return cols, t_done, jnp.zeros((n_,), bool), refr
 
-            cols, t_done, res_hit = jax.lax.cond(
-                jnp.any(working), run, skip, (cols, t_done))
+            cols, t_done, res_hit, refr = jax.lax.cond(
+                jnp.any(working), run, skip, (cols, t_done, refr))
             status_o = cols[10].reshape(-1)
             # a resolved hit that continues costs one bounce
             bounce = bounce + jnp.where(

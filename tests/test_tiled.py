@@ -161,3 +161,72 @@ def test_render_tiled_truncated_packets_resolve_via_rounds():
     assert int(diag["unresolved"]) == 0
     mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
+
+
+def _ext_scene(trans=False, rough=0.0, n=60, seed=4):
+    """Mixed extended-class scene for the tiled glue: ground box, mirrors,
+    glass with defined/undefined substances, emissive."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((.35, .45, .65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True,
+                            roughness=rough)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((0, 0, -51.0), 100.0, diffuse, b.add_solid_texture((.6,) * 3))
+    rng = np.random.default_rng(seed)
+    gs = b.add_substance(1.5) if trans else None
+    glass = b.add_material(ResponseType.TRANSMISSION) if trans else None
+    for i in range(n):
+        c = rng.uniform([3, -4, -0.5], [10, 4, 3])
+        r = float(rng.uniform(0.2, 0.5))
+        tex = b.add_solid_texture(rng.uniform(0.2, 1, 3))
+        if trans and i % 4 == 0:
+            b.add_sphere(c, r, glass, tex,
+                         substance=gs if i % 8 == 0 else -1)
+        else:
+            b.add_sphere(c, r, mirror if i % 3 == 0 else diffuse, tex)
+    b.add_sphere((6, .5, 5.0), 1.0, light, b.add_solid_texture((1.,) * 3))
+    return b.build()
+
+
+def test_render_tiled_transmission_matches_brute():
+    """Transmission on the tiled path: the glue's grid substance query +
+    Snell/TIR reproduces the XLA wavefront (near-exact — no RNG)."""
+    scene = _ext_scene(trans=True)
+    cam = make_camera((0.0, 0.0, 0.5), 128, 64, np.pi / 2, np.pi / 4)
+    cfg = RenderConfig(refmax=3, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got = np.asarray(render_frame_tiled(scene, cfg, cam))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_render_tiled_rough_matches_brute():
+    """Roughness on the tiled path: identical counter-RNG streams, so the
+    scattered paths match the XLA wavefront up to isolated boundary flips
+    (ULP-different reflected inputs at silhouettes)."""
+    key = jax.random.key(3)
+    scene = _ext_scene(rough=0.5)
+    cam = make_camera((0.0, 0.0, 0.5), 128, 64, np.pi / 2, np.pi / 4)
+    cfg_b = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg_b, key=key))
+    got = np.asarray(render_frame_tiled(scene, cfg_b, cam, key=key))
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
+
+
+def test_render_tiled_rough_transmission_combined_with_accel():
+    """Both extensions together, substance query through the octree grid
+    (the at-scale configuration)."""
+    from raytracer_js_tpu.accel.octree import build_octree
+    from raytracer_js_tpu.config import OctreeConfig
+
+    key = jax.random.key(9)
+    scene = _ext_scene(trans=True, rough=0.4)
+    accel = build_octree(scene, OctreeConfig(max_depth=4))
+    cam = make_camera((0.0, 0.0, 0.5), 128, 64, np.pi / 2, np.pi / 4)
+    cfg_b = RenderConfig(refmax=3, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg_b, key=key))
+    got = np.asarray(render_frame_tiled(scene, cfg_b, cam, key=key,
+                                        accel=accel))
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
