@@ -12,10 +12,12 @@ from the TypeScript reference (nearest-hit, correct Snell refraction,
 innermost-containing substance query) — those divergences are *defined* by
 this oracle.
 
-Deterministic subset only: materials with roughness > 0 draw scatter
-randomness that intentionally differs between the threefry wavefront and any
-scalar stream, so oracle scenes must use roughness == 0 (the trace step
-bypasses the RNG entirely there, raytracer.ts:233-235).
+Stochastic scatter included: ops/sampling's counter-hash RNG is pure
+integer/float arithmetic, so this oracle reproduces the EXACT same draws
+(lowbias32 over (seed, ray id, bounce, salt) -> polar ball sample -> rough
+lerp) in scalar Python — pass ``seed``/``rid`` (see :func:`render`) and
+rough scenes golden-match every backend. Without a seed, rough materials
+raise (the r1 behavior).
 """
 from __future__ import annotations
 
@@ -27,6 +29,55 @@ import numpy as np
 from ..config import EPS_ADVANCE, JS_EPSILON, RayStatus, ResponseType
 
 _INF = float("inf")
+
+# --- scalar twin of ops/sampling (counter-hash RNG) ------------------------
+# constants duplicated (the oracle imports no JAX modules); a unit test
+# asserts they match ops.sampling.SALT_*
+_SALT_Z, _SALT_PHI, _SALT_R = 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35
+_M32 = 0xFFFFFFFF
+
+
+def _lowbias32(x: int) -> int:
+    x &= _M32
+    x ^= x >> 16
+    x = (x * 0x7FEB352D) & _M32
+    x ^= x >> 15
+    x = (x * 0x846CA68B) & _M32
+    x ^= x >> 16
+    return x
+
+
+def _hash_u32(seed: int, rid: int, bounce: int, salt: int) -> int:
+    h = _lowbias32((rid & _M32) ^ (seed & _M32))
+    h = _lowbias32((h + bounce * 0x68BC21EB) & _M32)
+    return _lowbias32(h ^ salt)
+
+
+def _uniform(seed, rid, bounce, salt) -> float:
+    return float(np.float32(_hash_u32(seed, rid, bounce, salt) >> 8)
+                 * np.float32(1.0 / (1 << 24)))
+
+
+def _ball_sample(seed: int, rid: int, bounce: int) -> np.ndarray:
+    z = 1.0 - 2.0 * _uniform(seed, rid, bounce, _SALT_Z)
+    phi = 2.0 * math.pi * _uniform(seed, rid, bounce, _SALT_PHI)
+    u_r = _uniform(seed, rid, bounce, _SALT_R)
+    sfac = math.sqrt(max(1.0 - z * z, 0.0))
+    r = math.exp(math.log(max(u_r, 2.0 ** -25)) / 3.0)
+    return np.array([r * sfac * math.cos(phi), r * sfac * math.sin(phi),
+                     r * z])
+
+
+def _scatter_direction(seed, rid, bounce, refl, normal, rho) -> np.ndarray:
+    """Scalar twin of ops/sampling.scatter_direction_xyz
+    (raytracer.ts:121-133 semantics)."""
+    if rho <= 0.0:
+        return refl
+    b = _ball_sample(seed, rid, bounce)
+    if float(b @ normal) < 0.0:
+        b = -b
+    mixed = (1.0 - rho) * refl + rho * b
+    return mixed / max(np.linalg.norm(mixed), 1e-10)
 
 
 def _as_np(scene):
@@ -244,10 +295,12 @@ def refract(d, n, eta):
     return eta * d + (eta * c1 - c2) * n
 
 
-def trace_ray(s, org, dir, refmax, atten, start_refr):
+def trace_ray(s, org, dir, refmax, atten, start_refr, rng=None):
     """Scalar twin of ops/trace.trace_rays for one ray.
 
-    Returns (color[3], status, path)."""
+    ``rng = (seed, rid)`` enables the exact counter-RNG scatter for rough
+    materials (identical streams to every TPU backend); without it rough
+    materials raise. Returns (color[3], status, path)."""
     org = np.array(org, np.float64)
     dir = np.array(dir, np.float64)
     color = np.ones(3)
@@ -274,10 +327,15 @@ def trace_ray(s, org, dir, refmax, atten, start_refr):
             if not s["m_mirror"][mid]:
                 status = int(RayStatus.KEEP)
                 break
-            if s["m_rough"][mid] > 0:
+            rough = float(s["m_rough"][mid])
+            if rough > 0 and rng is None:
                 raise NotImplementedError(
-                    "oracle supports deterministic (roughness==0) paths only")
+                    "rough materials need rng=(seed, rid) for the "
+                    "counter-hash scatter draw")
             dir = reflect(dir, normal)
+            if rough > 0:
+                dir = _scatter_direction(rng[0], rng[1], _bounce, dir,
+                                         normal, rough)
             org = point + EPS_ADVANCE * dir
         elif resp == int(ResponseType.TRANSMISSION):
             adv = point + EPS_ADVANCE * dir
@@ -314,8 +372,12 @@ def camera_dirs(pos, front, left, up, fov_h, fov_v, w, h):
     return dirs
 
 
-def render(scene, camera, cfg) -> np.ndarray:
-    """Scalar full-frame render -> [h, w, 3] float64 HDR."""
+def render(scene, camera, cfg, seed: Optional[int] = None) -> np.ndarray:
+    """Scalar full-frame render -> [h, w, 3] float64 HDR.
+
+    ``seed`` (the uint32 from ops.sampling.seed_from_key) enables rough
+    scenes; ray id = pixel y*w + x (spp 1), matching render.render_rays.
+    """
     s = _as_np(scene)
     pos = np.asarray(camera.pos, np.float64)
     dirs = camera_dirs(pos, camera.front, camera.left, camera.up,
@@ -324,8 +386,9 @@ def render(scene, camera, cfg) -> np.ndarray:
     img = np.zeros((camera.h, camera.w, 3))
     for y in range(camera.h):
         for x in range(camera.w):
+            rng = (seed, y * camera.w + x) if seed is not None else None
             color, _, _ = trace_ray(s, pos, dirs[y, x], cfg.refmax,
                                     cfg.distance_attenuation_factor,
-                                    start_refr)
+                                    start_refr, rng=rng)
             img[y, x] = color
     return img
