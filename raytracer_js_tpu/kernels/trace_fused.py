@@ -129,8 +129,10 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
     col_b = jnp.ones(shape, jnp.float32)
     path = jnp.zeros(shape, jnp.float32)
     status = jnp.full(shape, _ALIVE, jnp.int32)
+    # per-ray refractive-index plane only exists for transmission scenes
+    # (the restricted-class bounce-loop carry stays 11 arrays)
     refr = (jnp.broadcast_to(refr0, shape).astype(jnp.float32)
-            if has_trans else jnp.zeros(shape, jnp.float32))
+            if has_trans else None)
     sky_r = sky_ref[0:1, :]
     sky_g = sky_ref[1:2, :]
     sky_b = sky_ref[2:3, :]
@@ -144,8 +146,9 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
 
     def _one_bounce(state, short, first, b_idx):
         """One traverse->intersect->shade->respawn pass over the tile."""
-        (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-         refr) = state
+        (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path,
+         status) = state[:11]
+        refr = state[11] if has_trans else None
         alive = status == _ALIVE
         if not unit_d:
             a = dx * dx + dy * dy + dz * dz
@@ -581,11 +584,12 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
         dx = jnp.where(cont_t, dx_t, jnp.where(cont_m, sdx, dx))
         dy = jnp.where(cont_t, dy_t, jnp.where(cont_m, sdy, dy))
         dz = jnp.where(cont_t, dz_t, jnp.where(cont_m, sdz, dz))
-        return (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-                refr)
+        out = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+        return out + ((refr,) if has_trans else ())
 
-    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-             refr)
+    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+    if has_trans:
+        state = state + (refr,)
     for _bounce in range(refmax):
         if _bounce == 0:
             # bounce 0 of a shared-origin wavefront only needs the spheres
@@ -602,8 +606,8 @@ def _trace_core(ox, oy, oz, dx, dy, dz,
                 any_alive,
                 lambda s, b=_bounce: _one_bounce(s, False, False, b),
                 lambda s: s, state)
-    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status,
-     refr) = state
+    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path,
+     status) = state[:11]
 
     # refmax exhaustion -> black (raytracer.ts:256-263)
     exhausted = status == _ALIVE
