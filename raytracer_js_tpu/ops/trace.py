@@ -315,13 +315,24 @@ def sky_color(scene: Scene, dir: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
-            rng, bounce: Array) -> RayState:
-    """One wavefront pass: traverse -> intersect -> shade -> respawn."""
+            rng, bounce: Array, pid_override: Array | None = None
+            ) -> RayState:
+    """One wavefront pass: traverse -> intersect -> shade -> respawn.
+
+    ``pid_override`` [N] replaces the nearest-hit SEARCH with a given
+    winner per ray (-1 = miss) — the path-replay mode: the discrete part
+    of the trace is supplied (recorded by any forward backend), and this
+    pass recomputes only the continuous factors differentiably. Gradients
+    are identical to the search path because the search result is
+    stop_gradient'ed there anyway.
+    """
     alive = state.status == int(RayStatus.ALIVE)
 
-    t_hit, pid = nearest_hit(scene, cfg, state.org, state.dir, accel)
-    t_hit = jax.lax.stop_gradient(t_hit)
-    pid = jax.lax.stop_gradient(pid)
+    if pid_override is not None:
+        pid = jax.lax.stop_gradient(pid_override)
+    else:
+        _t_hit, pid = nearest_hit(scene, cfg, state.org, state.dir, accel)
+        pid = jax.lax.stop_gradient(pid)
     hit = alive & (pid >= 0)
 
     if scene.n_prims == 0:
@@ -398,14 +409,55 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
                     refr=refr_out, status=status)
 
 
+def record_paths(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
+                 key: Array, ray_id: Array,
+                 start_refr: Array | None = None, accel=None) -> Array:
+    """Run the (non-differentiable) forward search and record the winner
+    primitive per bounce -> pid_seq [N, refmax] (-1 = miss/dead).
+
+    Feed the result to :func:`trace_rays`'s ``pid_seq`` for the
+    path-replay backward pass. Everything here is stop_gradient'ed — the
+    recording is pure bookkeeping of the discrete trace structure.
+    """
+    n = org.shape[0]
+    if start_refr is None:
+        start_refr = jnp.broadcast_to(scene.default_refr, (n,))
+    zeros = jnp.zeros_like(org[..., 0])
+    state = RayState(org=org, dir=dir, color=jnp.ones_like(org),
+                     path=zeros, refr=start_refr + zeros,
+                     status=zeros.astype(jnp.int32))
+    rng = ((sampling.seed_from_key(key), ray_id)
+           if scene.has_rough else None)
+    rec = jnp.full((n, cfg.refmax), -1, jnp.int32)
+
+    def body(b, carry):
+        st, rec = carry
+        alive = st.status == int(RayStatus.ALIVE)
+        _t, pid = nearest_hit(scene, cfg, st.org, st.dir, accel)
+        pid = jnp.where(alive, pid, -1)
+        rec = jax.lax.dynamic_update_slice(rec, pid[:, None], (0, b))
+        st = _bounce(scene, cfg, accel, st, rng, b, pid_override=pid)
+        return st, rec
+
+    _, rec = jax.lax.fori_loop(0, cfg.refmax, body, (state, rec),
+                               unroll=cfg.unroll)
+    return jax.lax.stop_gradient(rec)
+
+
 def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                key: Array, ray_id: Array, start_refr: Array | None = None,
-               accel=None) -> RayState:
+               accel=None, pid_seq: Array | None = None) -> RayState:
     """Trace a wavefront of N rays to termination.
 
     ``ray_id`` is the global pixel/sample id used for sharding-stable RNG.
     ``start_refr`` is the substance at the camera (the reference looks it up
     once per frame, raytracer.ts:312-313); defaults to the scene default.
+    ``pid_seq`` [N, refmax] switches to PATH-REPLAY mode: the per-bounce
+    winners come from a recorded forward pass (any backend) instead of a
+    search, so the differentiable replay costs O(N * refmax) gathers with
+    NO dependence on the primitive count — the inverse-rendering path for
+    big scenes (the search result is stop_gradient'ed either way, so
+    gradients are identical to the search path).
     Returns the final RayState; LIGHT rays already carry ISL attenuation,
     EXHAUST rays are black.
     """
@@ -430,6 +482,9 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
            if scene.has_rough else None)
 
     def body(b, st):
+        if pid_seq is not None:
+            return _bounce(scene, cfg, accel, st, rng, b,
+                           pid_override=pid_seq[:, b])
         return _bounce(scene, cfg, accel, st, rng, b)
 
     state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=cfg.unroll)

@@ -1,0 +1,103 @@
+"""Path-replay differentiation: recorded discrete structure + continuous
+replay must equal the search path in both value and gradient (the search
+result is stop_gradient'ed either way — SURVEY.md §7 hard part 2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder, make_camera
+from raytracer_js_tpu.models.camera import pixel_rays
+from raytracer_js_tpu.ops.trace import record_paths, trace_rays
+from raytracer_js_tpu.parallel.sharding import float_partition
+
+
+def _scene(rough=0.0, trans=False):
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True,
+                            roughness=rough)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((0, 0, -51.0), 100.0, diffuse, b.add_solid_texture((.6,) * 3))
+    b.add_sphere((4, 0, 0.5), 1.0, mirror, b.add_solid_texture((.9, .2, .1)))
+    if trans:
+        gs = b.add_substance(1.5)
+        glass = b.add_material(ResponseType.TRANSMISSION)
+        b.add_sphere((3, -1.5, 0.5), 0.8, glass,
+                     b.add_solid_texture((.95, .95, 1.0)), substance=gs)
+    b.add_sphere((5, .5, 4.0), 1.0, light, b.add_solid_texture((1.,) * 3))
+    return b.build()
+
+
+def _loss_pair(scene, cfg, cam, key):
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    params, rebuild = float_partition(scene)
+    pid_seq = record_paths(scene, cfg, org, dirs, key, rid)
+
+    def loss_search(p):
+        st = trace_rays(rebuild(p), cfg, org, dirs, key, rid)
+        return jnp.sum(st.color ** 2)
+
+    def loss_replay(p):
+        st = trace_rays(rebuild(p), cfg, org, dirs, key, rid,
+                        pid_seq=pid_seq)
+        return jnp.sum(st.color ** 2)
+
+    return params, loss_search, loss_replay
+
+
+def _assert_equal(scene, cfg):
+    cam = make_camera((0.0, 0.0, 0.5), 16, 16, np.pi / 2, np.pi / 2)
+    key = jax.random.key(2)
+    params, ls, lr = _loss_pair(scene, cfg, cam, key)
+    v_s, g_s = jax.value_and_grad(ls)(params)
+    v_r, g_r = jax.value_and_grad(lr)(params)
+    np.testing.assert_allclose(float(v_r), float(v_s), rtol=1e-6)
+    for a, b in zip(g_s, g_r):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_replay_matches_search_mirror():
+    _assert_equal(_scene(), RenderConfig(refmax=3))
+
+
+def test_replay_matches_search_rough():
+    _assert_equal(_scene(rough=0.4), RenderConfig(refmax=2))
+
+
+def test_replay_matches_search_transmission():
+    _assert_equal(_scene(trans=True), RenderConfig(refmax=3))
+
+
+def test_replay_cost_is_search_free():
+    """The replay jaxpr must contain no dense [N, P] hit search (above the
+    one-hot-gather cutoff, every per-ray table access is a take): the
+    replay of a recorded pid_seq never calls nearest_hit, which is what
+    makes it the big-scene inverse-rendering path."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.3, 0.4, 0.6)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    tex = b.add_solid_texture((0.8, 0.5, 0.2))
+    rng = np.random.default_rng(0)
+    for c in rng.uniform([3, -4, -1], [9, 4, 3], (1200, 3)):
+        b.add_sphere(c, 0.05, diffuse, tex)
+    scene = b.build()
+    cfg = RenderConfig(refmax=2)
+    cam = make_camera((0.0, 0.0, 0.5), 8, 8, np.pi / 2, np.pi / 2)
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    key = jax.random.key(0)
+    pid_seq = record_paths(scene, cfg, org, dirs, key, rid)
+    jaxpr = jax.make_jaxpr(
+        lambda s: trace_rays(s, cfg, org, dirs, key, rid,
+                             pid_seq=pid_seq).color)(scene)
+    # the brute search materializes [N, P] intermediates; replay must not
+    text = str(jaxpr).replace(" ", "")
+    n, p = org.shape[0], scene.n_prims
+    assert f"({n},{p})" not in text, "replay ran a search"
+    search = str(jax.make_jaxpr(
+        lambda s: trace_rays(s, cfg, org, dirs, key, rid).color)(scene)
+    ).replace(" ", "")
+    assert f"({n},{p})" in search  # the check is actually discriminating
