@@ -488,13 +488,21 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         # 128-ray Morton-compact packets so straggler packets stay tight
         # (sprawling leftover packets were the stall mode — their far rays
         # had t_safe - d_c <= 0 every round).
+        # Retry rounds: Morton binning (de-sprawls leftover packets; Mosaic
+        # requires >=8-sublane ray blocks so the packet height stays) plus
+        # an ESCALATING candidate budget — a sprawling packet whose spread
+        # exceeds its cleared horizon freezes (nothing excludable, same
+        # t_safe every round); doubling the budget grows the resolved
+        # shell ~cbrt(2) per retry, so every ray eventually progresses.
+        esc = [min(packet_c_max << (i + 1), 1 << 16)
+               for i in range(EXTRA_ROUNDS)]
         rounds = ([(packet_c_max, tt.WAVE_SUB, False)] * (cfg.refmax - 1)
-                  + [(packet_c_max, 1, True)] * EXTRA_ROUNDS)
+                  + [(c, tt.WAVE_SUB, True) for c in esc])
         if scene.n_prims <= MAX_FULL_RESCUE:
             # guaranteed-exact finale: untruncated lists -> t_safe = inf.
             # One rescue per remaining bounce (a rescued ray may respawn).
             full = _pad_align(scene.n_prims) + 3 * SEG_ALIGN
-            rounds += [(full, 1, True)] * (cfg.refmax - 1)
+            rounds += [(full, tt.WAVE_SUB, True)] * (cfg.refmax - 1)
         for c_round, wsub, fine in rounds:
             status_f = cols[10].reshape(-1)
             working = ((status_f == int(RayStatus.ALIVE))
