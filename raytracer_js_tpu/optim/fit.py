@@ -35,6 +35,16 @@ class FitConfig:
     #: with the same ckpt_dir resumes from the newest snapshot.
     save_every: int = 0
     ckpt_dir: str | None = None
+    #: path-replay gradients: re-record the discrete trace structure
+    #: (ops/trace.record_paths) every N steps and differentiate the
+    #: search-free REPLAY in between (0 = off). One recording costs one
+    #: plain forward; every step in between skips the nearest-hit search
+    #: entirely — the steady-state speedup for big-scene inverse rendering.
+    #: Between recordings the winner sets are slightly stale as geometry
+    #: moves (the usual amortized-replay approximation; gradients remain
+    #: exact for the recorded structure). replay_every=1 is EXACTLY the
+    #: search path's gradient at every step.
+    replay_every: int = 0
     #: accel staleness policy for the OCTREE backend: rebuild the octree
     #: from the CURRENT geometry every N steps (0 = never; the accel then
     #: goes stale as leaves move — the nearest-hit search may pick a wrong
@@ -106,6 +116,42 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
         return multiview_loss(rebuild(params), cfg, cameras, targets, key,
                               accel=accel)
 
+    from ..ops.trace import record_paths, trace_rays
+    from ..render import start_substance
+
+    view_rays = [pixel_rays(cam) for cam in cameras]
+
+    def record_fn(params, key, accel):
+        sc = rebuild(params)
+        recs = []
+        for v, (org, dirs) in enumerate(view_rays):
+            rid = (jnp.arange(org.shape[0], dtype=jnp.int32)
+                   + v * org.shape[0])
+            recs.append(record_paths(sc, cfg, org, dirs, key, rid,
+                                     accel=accel))
+        return recs
+
+    def loss_replay(params, key, recs):
+        sc = rebuild(params)
+        total = jnp.zeros((), jnp.float32)
+        n_pix = 0
+        for v, (org, dirs) in enumerate(view_rays):
+            rid = (jnp.arange(org.shape[0], dtype=jnp.int32)
+                   + v * org.shape[0])
+            refr0 = jnp.broadcast_to(start_substance(sc, org[0]),
+                                     (org.shape[0],))
+            st = trace_rays(sc, cfg, org, dirs, key, rid,
+                            start_refr=refr0, pid_seq=recs[v])
+            total = total + jnp.sum((st.color - targets[v]) ** 2)
+            n_pix += org.shape[0]
+        return total / n_pix
+
+    if fit_cfg.replay_every and cfg.spp != 1:
+        raise ValueError("replay_every requires spp == 1 (one recorded "
+                         "structure per ray)")
+    record_jit = jax.jit(record_fn)
+    replay_grad = jax.jit(jax.value_and_grad(loss_replay, argnums=0))
+
     if mesh is None:
         grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
     else:
@@ -162,7 +208,13 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
                 rebuild(params), OctreeConfig(max_depth=accel.max_depth),
                 l_cut=accel.l_cut, like=accel)
         k = jax.random.fold_in(key, step)
-        loss, grads = grad_fn(params, k, accel)
+        if fit_cfg.replay_every and mesh is None:
+            if ((step - start_step) % fit_cfg.replay_every == 0
+                    or step == start_step):
+                recs = record_jit(params, k, accel)
+            loss, grads = replay_grad(params, k, recs)
+        else:
+            loss, grads = grad_fn(params, k, accel)
         if trainable is not None:
             grads = [g if trainable(i, p) else jnp.zeros_like(g)
                      for i, (g, p) in enumerate(zip(grads, params))]

@@ -101,3 +101,22 @@ def test_replay_cost_is_search_free():
         lambda s: trace_rays(s, cfg, org, dirs, key, rid).color)(scene)
     ).replace(" ", "")
     assert f"({n},{p})" in search  # the check is actually discriminating
+
+
+def test_fit_replay_matches_search_trajectory():
+    """replay_every=1 must reproduce the search-path fit trajectory
+    exactly (same gradients every step)."""
+    from raytracer_js_tpu.optim.fit import FitConfig, fit
+
+    scene = _scene()
+    cfg = RenderConfig(refmax=2)
+    cam = make_camera((0.0, 0.0, 0.5), 12, 12, np.pi / 2, np.pi / 2)
+    target = jnp.zeros((1, 144, 3), jnp.float32)
+    r_search = fit(scene, cfg, [cam], target, FitConfig(steps=4, lr=1e-2))
+    r_replay = fit(scene, cfg, [cam], target,
+                   FitConfig(steps=4, lr=1e-2, replay_every=1))
+    np.testing.assert_allclose(r_replay.losses, r_search.losses, rtol=1e-6)
+    # amortized recording still converges (stale structure between records)
+    r_amort = fit(scene, cfg, [cam], target,
+                  FitConfig(steps=4, lr=1e-2, replay_every=3))
+    assert r_amort.losses[-1] <= r_amort.losses[0]
