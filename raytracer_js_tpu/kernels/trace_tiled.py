@@ -614,12 +614,17 @@ def _wave_call(cam_arr, cnts, tab, cols, c_max, want_uv, sky_solid,
     i32 = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
     n_out = 18 if want_normal else 15
     shapes = [f32] * 10 + [i32, f32, i32, f32, f32] + [f32] * (n_out - 15)
+    # escalated retry budgets push the double-buffered [c_max, N_ATTR]
+    # block past Mosaic's default 16 MB scoped-VMEM limit; raise it (the
+    # physical VMEM is far larger)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         grid=(nblk,),
         in_specs=[cam_spec, cnt_spec, tab_spec] + [tile] * 11,
         out_specs=[tile] * n_out,
         out_shape=shapes,
+        compiler_params=params,
         interpret=interpret,
     )(cam_arr, cnts, tab, *cols)
 
