@@ -42,13 +42,15 @@ def clamp_color(c: Array, lo: float = 0.0, hi: float = 1.0) -> Array:
 
 
 def overlay_color(top: Array, bottom: Array) -> Array:
-    """Alpha-composite ``top`` over ``bottom`` (color.ts:59-65):
-    ``out_rgb = top_rgb * a + bottom_rgb * (1 - a)``, alpha accumulates
-    ``a_out = a_top + a_bottom * (1 - a_top)``. RGBA [..., 4] arrays."""
+    """Alpha-composite ``top`` over ``bottom`` (color.ts:59-65, exactly):
+    ``out_rgb = clamp(top_rgb * a_top + bottom_rgb * (1 - a_top))``;
+    alpha saturates additively, ``a_out = clamp(a_bottom + a_top)``
+    (color.ts:63 — NOT Porter-Duff "over"). RGBA [..., 4] arrays."""
     a_t = top[..., 3:]
     a_b = bottom[..., 3:]
-    rgb = top[..., :3] * a_t + bottom[..., :3] * (1.0 - a_t)
-    a_out = a_t + a_b * (1.0 - a_t)
+    rgb = jnp.clip(top[..., :3] * a_t + bottom[..., :3] * (1.0 - a_t),
+                   0.0, 1.0)
+    a_out = jnp.clip(a_b + a_t, 0.0, 1.0)
     return jnp.concatenate([rgb, a_out], axis=-1)
 
 

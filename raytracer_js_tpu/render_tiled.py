@@ -17,9 +17,12 @@ The terminal semantics (EXHAUST blackout raytracer.ts:256-263, light-hit
 inverse-square attenuation :273-275) are applied in a final fused XLA
 epilogue, exactly as ops/trace.trace_rays does.
 
-Restricted class: solid textures/sky, no transmission, zero roughness (the
-trace_fused class) — BASELINE config 4's shape. Off-class big scenes fall
-back to ops/trace (render.render_hdr dispatch).
+Shading coverage: the FULL model. Solid-color winners modulate in-kernel;
+image textures / image sky sample the atlas in the XLA glue from in-kernel
+(u, v); roughness scatters and transmission refracts in the glue with the
+same counter-RNG streams and Snell/TIR math as every other backend
+(`_respawn_glue`, tests/test_tiled.py:105-232). There is no off-class
+fallback for this path — ``supports`` returns True.
 """
 from __future__ import annotations
 

@@ -27,6 +27,23 @@ def draw(buf: ex.ExposureBuffer, cfg: ToneMapConfig) -> Array:
     return tonemap(buf, cfg)
 
 
+def draw_rgba(buf: ex.ExposureBuffer, cfg: ToneMapConfig,
+              overlays: tuple = ()) -> Array:
+    """RGBA display path: tone-map, promote to opaque RGBA (the CanvasScreen
+    sink writes alpha = 0xff per pixel, screen_canvas.ts:45-56), then
+    alpha-composite each ``overlays`` layer ([h, w, 4] RGBA, e.g. a HUD) on
+    top via ops/color.overlay_color (color.ts:59-65). Returns [h, w, 4]
+    ready for ``screen.write_png``."""
+    from ..ops.color import overlay_color
+
+    rgb = tonemap(buf, cfg)
+    img = jnp.concatenate(
+        [rgb, jnp.ones(rgb.shape[:-1] + (1,), rgb.dtype)], axis=-1)
+    for layer in overlays:
+        img = overlay_color(jnp.asarray(layer, rgb.dtype), img)
+    return img
+
+
 def progressive_render(scene: Scene, camera: Camera, cfg: RenderConfig,
                        tone: ToneMapConfig, frames: int,
                        key: Optional[Array] = None) -> Array:

@@ -1,14 +1,20 @@
 """Tiled candidate-list kernel vs the BRUTE wavefront (golden parity).
 
 The tiled path (render_tiled + kernels/trace_tiled + accel/candidates) must
-reproduce ops/trace exactly for the restricted class: identical nearest
-hits (up to exact-tie order), identical shading state machine. Runs in
-Pallas interpret mode on the CPU mesh.
+reproduce ops/trace exactly: identical nearest hits (up to exact-tie
+order), identical shading state machine. Runs in Pallas interpret mode on
+the CPU mesh — interpret mode executes the kernel's chunk loops in Python,
+so this file takes ~1 h of CPU; it is marked ``slow`` (excluded from the
+default ``pytest`` run, included via ``-m ""``). The tiled path's on-chip
+exactness is additionally checked by bench.py --config 4's ``unresolved``
+diagnostic on every driver run.
 """
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder, make_camera
 from raytracer_js_tpu.accel import candidates as cand

@@ -90,6 +90,35 @@ def test_screen_quantize_and_roundtrip(tmp_path):
     np.testing.assert_allclose(np.load(p2), img.astype(np.float32))
 
 
+def test_rgba_draw_overlay_and_roundtrip(tmp_path):
+    """draw_rgba: opaque base alpha (screen_canvas.ts:45-56), overlay blend
+    per color.ts:59-65, RGBA PNG/npy roundtrip."""
+    from raytracer_js_tpu.view.view import draw_rgba
+
+    buf = ex.accumulate(ex.new_exposure_buffer(2, 2),
+                        jnp.full((2, 2, 3), 0.5))
+    cfg = ToneMapConfig(kind=ToneMapperKind.IDENTITY)
+    base = np.asarray(draw_rgba(buf, cfg))
+    assert base.shape == (2, 2, 4)
+    np.testing.assert_allclose(base[..., 3], 1.0)   # alpha = 0xff analogue
+    # 50%-alpha red HUD layer over the grey frame
+    hud = np.zeros((2, 2, 4), np.float32)
+    hud[..., 0] = 1.0
+    hud[..., 3] = 0.5
+    out = np.asarray(draw_rgba(buf, cfg, overlays=(hud,)))
+    np.testing.assert_allclose(out[..., 0], 0.5 * 1.0 + 0.5 * 0.25,
+                               atol=1e-6)
+    np.testing.assert_allclose(out[..., 1], 0.5 * 0.25, atol=1e-6)
+    np.testing.assert_allclose(out[..., 3], 1.0)    # clamp(1 + 0.5)
+    p = screen.write_png(tmp_path / "rgba.png", out)
+    assert p.exists()
+    if p.suffix == ".png":
+        from PIL import Image
+
+        back = np.asarray(Image.open(p))
+        assert back.shape == (2, 2, 4) and (back[..., 3] == 255).all()
+
+
 def test_camera_direction_norm_invariant():
     """Every pixel direction is unit length after arbitrary rotations —
     the reference camera property test (test/view-camera.test.ts:17-49)."""
