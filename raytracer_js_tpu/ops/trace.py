@@ -428,7 +428,10 @@ def record_paths(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                      status=zeros.astype(jnp.int32))
     rng = ((sampling.seed_from_key(key), ray_id)
            if scene.has_rough else None)
-    rec = jnp.full((n, cfg.refmax), -1, jnp.int32)
+    # derive the recording from ``org`` so the fori_loop carry is uniformly
+    # device-varying under shard_map (same reason as trace_rays' state init)
+    rec = jnp.broadcast_to((zeros.astype(jnp.int32) - 1)[:, None],
+                           (n, cfg.refmax))
 
     def body(b, carry):
         st, rec = carry

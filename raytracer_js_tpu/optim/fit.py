@@ -127,8 +127,10 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
         for v, (org, dirs) in enumerate(view_rays):
             rid = (jnp.arange(org.shape[0], dtype=jnp.int32)
                    + v * org.shape[0])
+            refr0 = jnp.broadcast_to(start_substance(sc, org[0]),
+                                     (org.shape[0],))
             recs.append(record_paths(sc, cfg, org, dirs, key, rid,
-                                     accel=accel))
+                                     start_refr=refr0, accel=accel))
         return recs
 
     def loss_replay(params, key, recs):
@@ -149,43 +151,95 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
     if fit_cfg.replay_every and cfg.spp != 1:
         raise ValueError("replay_every requires spp == 1 (one recorded "
                          "structure per ray)")
-    record_jit = jax.jit(record_fn)
-    replay_grad = jax.jit(jax.value_and_grad(loss_replay, argnums=0))
 
     if mesh is None:
+        record_jit = jax.jit(record_fn)
+        replay_grad = jax.jit(jax.value_and_grad(loss_replay, argnums=0))
         grad_fn = jax.jit(jax.value_and_grad(loss_fn, argnums=0))
     else:
+        # Sharded path: every view's rays split over the RAY_AXIS (scene,
+        # accel and camera poses replicated; targets [V, N, 3] shard over
+        # N). Replay composes with the mesh by recording per shard —
+        # pid_seq is sharding-stable because the RNG streams key off the
+        # GLOBAL ray id — and replaying inside the shard_map body; the
+        # implicit psum of replicated-param cotangents all-reduces the
+        # gradients exactly as in the search path (see
+        # parallel.sharding.sharded_fit_step NOTE).
         from jax.sharding import PartitionSpec as P
 
-        # rays of every view sharded; cameras/targets replicated for
-        # simplicity (targets [V, N, 3] shard over N)
-        def sharded(params, targets_shard, key):
-            def loss_local(params):
-                total = jnp.zeros((), jnp.float32)
-                n_pix = 0
-                for v, cam in enumerate(cameras):
-                    org, dirs = pixel_rays(cam)
-                    n = org.shape[0]
-                    n_dev = mesh.devices.size
-                    shard = n // n_dev
-                    idx = jax.lax.axis_index(RAY_AXIS)
-                    sl = jax.lax.dynamic_slice_in_dim(org, idx * shard, shard)
-                    dl = jax.lax.dynamic_slice_in_dim(dirs, idx * shard, shard)
-                    rid = (jnp.arange(shard, dtype=jnp.int32)
-                           + idx * shard + v * n)
-                    colors = render_rays(rebuild(params), cfg, sl, dl, key, rid)
-                    total = total + jnp.sum((colors - targets_shard[v]) ** 2)
-                    n_pix += n
-                return total / n_pix
+        from ..config import HitBackend
 
-            loss, grads = jax.value_and_grad(loss_local)(params)
+        orgs = jnp.stack([o for o, _ in view_rays])          # [V, N, 3]
+        dirss = jnp.stack([d for _, d in view_rays])
+        n_views, n_view = orgs.shape[0], orgs.shape[1]
+        n_dev = mesh.devices.size
+        if n_view % n_dev:
+            raise ValueError(
+                f"rays per view ({n_view}) must divide over {n_dev} devices")
+        rids = (jnp.arange(n_view, dtype=jnp.int32)[None, :]
+                + jnp.arange(n_views, dtype=jnp.int32)[:, None] * n_view)
+        n_total = n_views * n_view
+        # PALLAS kernels have no shard_map batching rule on the CPU mesh;
+        # the dense search is the safe in-shard default for off-TILED runs.
+        shard_cfg = cfg
+        if cfg.backend == HitBackend.TILED:
+            shard_cfg = dataclasses.replace(cfg, backend=HitBackend.BRUTE)
+
+        def _local_loss(params, o, d, rid, tgt, key, accel, recs):
+            sc = rebuild(params)
+            total = jnp.zeros((), jnp.float32)
+            for v in range(n_views):
+                refr0 = jnp.broadcast_to(start_substance(sc, o[v, 0]),
+                                         (o.shape[1],))
+                st = trace_rays(sc, shard_cfg, o[v], d[v], key, rid[v],
+                                start_refr=refr0, accel=accel,
+                                pid_seq=None if recs is None else recs[v])
+                total = total + jnp.sum((st.color - tgt[v]) ** 2)
+            return total / n_total
+
+        ray_sp = P(None, RAY_AXIS)
+
+        def _search_step(params, o, d, rid, tgt, key, accel):
+            loss, grads = jax.value_and_grad(_local_loss)(
+                params, o, d, rid, tgt, key, accel, None)
             return jax.lax.psum(loss, RAY_AXIS), grads
 
-        fn = shard_map(sharded, mesh=mesh,
-                       in_specs=(P(), P(None, RAY_AXIS), P()),
-                       out_specs=(P(), P()))
-        # the sharded path uses the dense search (accel unused)
-        grad_fn = jax.jit(lambda p, k, accel=None: fn(p, targets, k))
+        def _replay_step(params, o, d, rid, tgt, recs, key):
+            loss, grads = jax.value_and_grad(_local_loss)(
+                params, o, d, rid, tgt, key, None, recs)
+            return jax.lax.psum(loss, RAY_AXIS), grads
+
+        def _record_local(params, o, d, rid, key, accel):
+            sc = rebuild(params)
+            outs = []
+            for v in range(n_views):
+                refr0 = jnp.broadcast_to(start_substance(sc, o[v, 0]),
+                                         (o.shape[1],))
+                outs.append(record_paths(sc, shard_cfg, o[v], d[v], key,
+                                         rid[v], start_refr=refr0,
+                                         accel=accel))
+            return jnp.stack(outs)                   # [V, n_shard, refmax]
+
+        search_sh = shard_map(
+            _search_step, mesh=mesh,
+            in_specs=(P(), ray_sp, ray_sp, ray_sp, ray_sp, P(), P()),
+            out_specs=(P(), P()))
+        replay_sh = shard_map(
+            _replay_step, mesh=mesh,
+            in_specs=(P(), ray_sp, ray_sp, ray_sp, ray_sp, ray_sp, P()),
+            out_specs=(P(), P()))
+        record_sh = shard_map(
+            _record_local, mesh=mesh,
+            in_specs=(P(), ray_sp, ray_sp, ray_sp, P(), P()),
+            out_specs=ray_sp)
+        grad_fn = jax.jit(
+            lambda p, k, accel: search_sh(p, orgs, dirss, rids, targets,
+                                          k, accel))
+        record_jit = jax.jit(
+            lambda p, k, accel: record_sh(p, orgs, dirss, rids, k, accel))
+        replay_grad = jax.jit(
+            lambda p, k, recs: replay_sh(p, orgs, dirss, rids, targets,
+                                         recs, k))
 
     start_step = 0
     if fit_cfg.ckpt_dir:
@@ -208,7 +262,7 @@ def fit(scene: Scene, cfg: RenderConfig, cameras: Sequence[Camera],
                 rebuild(params), OctreeConfig(max_depth=accel.max_depth),
                 l_cut=accel.l_cut, like=accel)
         k = jax.random.fold_in(key, step)
-        if fit_cfg.replay_every and mesh is None:
+        if fit_cfg.replay_every:
             if ((step - start_step) % fit_cfg.replay_every == 0
                     or step == start_step):
                 recs = record_jit(params, k, accel)

