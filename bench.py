@@ -198,12 +198,18 @@ def run_config(args):
         accel = None
     elif n == 3:
         scene, (w, h) = build_config3_scene(), (512, 512)
-        # TILED: per-tile candidate kernel; image textures/sky sampled by
-        # the XLA glue from in-kernel uv. --c3-backend pallas for the old
-        # wavefront path.
+        # Default: the TILED request goes through render_hdr's measured
+        # prim-count crossover (render.TILED_MIN_PRIMS), which picks the
+        # PALLAS wavefront path at this 5k-prim scale. --c3-backend
+        # tiled/pallas forces a side for crossover measurements.
         backend = (HitBackend.PALLAS if args.c3_backend == "pallas"
                    else HitBackend.TILED)
         cfg = RenderConfig(refmax=3, backend=backend)
+        if args.c3_backend == "auto":
+            from raytracer_js_tpu.render import TILED_MIN_PRIMS
+
+            detail["dispatch"] = ("tiled" if scene.n_prims > TILED_MIN_PRIMS
+                                  else "pallas")
         accel = None
         detail["n_tris"] = scene.n_tris
     elif n == 4:
@@ -225,7 +231,12 @@ def run_config(args):
         raise SystemExit(f"unknown --config {n}")
 
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
-    if cfg.backend == HitBackend.TILED:
+    from raytracer_js_tpu.render import TILED_MIN_PRIMS
+
+    use_tiled = cfg.backend == HitBackend.TILED and (
+        scene.n_prims > TILED_MIN_PRIMS
+        or (n == 3 and args.c3_backend == "tiled"))
+    if use_tiled:
         from raytracer_js_tpu.render_tiled import frame_tables
 
         tab, cnts, c_max = frame_tables(scene, cam)
@@ -365,8 +376,8 @@ def main():
     ap.add_argument("--c4-prims", type=int, default=100_000)
     # measured on chip: PALLAS 1.17e6 rays/s vs TILED 2.9e5 at 512^2/5k
     # prims — the tiled round machinery only pays off at big scenes
-    ap.add_argument("--c3-backend", default="pallas",
-                    choices=["tiled", "pallas"])
+    ap.add_argument("--c3-backend", default="auto",
+                    choices=["auto", "tiled", "pallas"])
     ap.add_argument("--c4-backend", default="tiled",
                     choices=["tiled", "octree"])
     ap.add_argument("--c5-prims", type=int, default=1_000_000)

@@ -23,6 +23,13 @@ from .ops import trace as trace_mod
 
 Array = jnp.ndarray
 
+#: scenes at or below this primitive count render faster on the PALLAS
+#: whole-table wavefront path than on the TILED candidate-list path
+#: (measured crossover notes at render_hdr); override via env for tuning
+import os as _os
+
+TILED_MIN_PRIMS = int(_os.environ.get("RT_TILED_MIN_PRIMS", "16384"))
+
 
 def start_substance(scene: Scene, pos: Array) -> Array:
     """Substance at the camera position (raytracer.ts:312-313): innermost
@@ -102,6 +109,14 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
 
     if key is None:
         key = jax.random.key(0)
+    if (cfg.backend == HitBackend.TILED
+            and scene.n_prims <= TILED_MIN_PRIMS and tables is None):
+        # Measured crossover (r2, v5e-lite): at 512^2 / 5k prims the PALLAS
+        # wavefront hit kernel sustains 1.17e6 rays/s vs TILED's 2.9e5 —
+        # the tiled round machinery (packet sorts + candidate builds) only
+        # pays off once the primitive table is too large to stream past
+        # every ray tile. Dispatch, not the caller, owns that knowledge.
+        cfg = dataclasses.replace(cfg, backend=HitBackend.PALLAS)
     if cfg.backend == HitBackend.TILED:
         from . import render_tiled as rtl
 

@@ -390,6 +390,15 @@ def _epilogue(cr, cg, cb, path, status, atten):
 #: Segment-cond compaction makes retry rounds cost ~ the unresolved
 #: minority, so the default leans high — "unresolved" in the diag must be 0
 EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "6"))
+#: ceiling on the escalating retry candidate budgets. The wave kernel's
+#: double-buffered [c_max, N_ATTR] block lives on Mosaic's scoped-VMEM
+#: stack (16 MB limit the CompilerParams vmem_limit does NOT govern);
+#: 1 << 14 keeps the block at 1.3 MB. Escalation beyond the cap is
+#: replaced by MORE capped rounds: each round excludes the cleared shell
+#: (t_done floor) before selecting, so a fixed budget still advances the
+#: resolved horizon by a constant-volume shell per round.
+ESC_MAX = int(__import__("os").environ.get("RT_TILED_ESC_MAX",
+                                           str(1 << 14)))
 #: scenes up to this many prims get a guaranteed-exact FINAL rescue round
 #: with untruncated per-packet lists (t_safe = inf resolves every ray);
 #: bounded by the VMEM footprint of a full [P, N_ATTR] candidate block
@@ -497,7 +506,7 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         # exceeds its cleared horizon freezes (nothing excludable, same
         # t_safe every round); doubling the budget grows the resolved
         # shell ~cbrt(2) per retry, so every ray eventually progresses.
-        esc = [min(packet_c_max << (i + 1), 1 << 16)
+        esc = [min(packet_c_max << (i + 1), ESC_MAX)
                for i in range(EXTRA_ROUNDS)]
         rounds = ([(packet_c_max, tt.WAVE_SUB, False)] * (cfg.refmax - 1)
                   + [(c, tt.WAVE_SUB, True) for c in esc])

@@ -107,3 +107,22 @@ def test_icosphere_is_spherical():
     v, f = icosphere(2, radius=2.0, center=(1.0, 0.0, 0.0))
     r = np.linalg.norm(v - np.array([1.0, 0.0, 0.0]), axis=1)
     np.testing.assert_allclose(r, 2.0, atol=1e-5)
+
+
+def test_tiled_request_small_scene_dispatches_to_pallas():
+    """render_hdr owns the measured TILED/PALLAS crossover
+    (render.TILED_MIN_PRIMS): a TILED request on a small scene renders via
+    the PALLAS wavefront (no candidate tables) and matches BRUTE exactly."""
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.3, 0.4, 0.6)))
+    m = b.add_material(ResponseType.REFLECTION)
+    b.add_sphere((4, 0, 0), 1.0, m, b.add_solid_texture((0.9, 0.2, 0.1)))
+    b.add_box((0, 0, -21), 40.0, m, b.add_solid_texture((0.5, 0.5, 0.5)))
+    scene = b.build()
+    cam = make_camera((0, 0, 0.5), 64, 32, np.pi / 2, np.pi / 4)
+    img_t = np.asarray(render_hdr(
+        scene, cam, RenderConfig(refmax=2, backend=HitBackend.TILED)))
+    img_b = np.asarray(render_hdr(scene, cam, RenderConfig(refmax=2)))
+    np.testing.assert_allclose(img_t, img_b, rtol=1e-4, atol=1e-5)

@@ -82,12 +82,20 @@ def main():
 
     timeit("sort_pair_13ops", jax.jit(sort_only), cols, t_done)
 
-    # one full round (standard) and one retry-config round
+    # one full round (standard) and one retry-config round (fine Morton
+    # binning, escalated-but-capped budget)
     pb = jax.jit(lambda c, t: rtl.packet_bounce(scene, c, 4096, t))
-    timeit("round_standard", pb, cols, t_done)
+    out_r = timeit("round_standard", pb, cols, t_done)
     pb1 = jax.jit(lambda c, t: rtl.packet_bounce(
-        scene, c, 4096, t, wave_sub=1, fine_key=True))
-    timeit("round_retry_ws1", pb1, cols, t_done)
+        scene, c, rtl.ESC_MAX, t, fine_key=True))
+    timeit("round_retry_fine_escmax", pb1, cols, t_done)
+    # a retry round as it actually runs: after the standard round, on the
+    # carried state (mostly-resolved wavefront)
+    cols_r, t_done_r = out_r[0], out_r[1]
+    n_alive1 = int((np.asarray(cols_r[10]).reshape(-1)
+                    == int(RayStatus.ALIVE)).sum())
+    print(f"live after round 1: {n_alive1}", flush=True)
+    timeit("round2_retry_on_carried", pb1, cols_r, t_done_r)
 
     # full frame end to end + diag
     fr = jax.jit(lambda s: rtl.render_frame_tiled(
