@@ -128,6 +128,14 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     # each ray compensates by its centroid distance d_c (accel/candidates)
     t_safe_pkt, o0x, o0y, o0z, _ro = t_safe
     d_c = jnp.sqrt((ox - o0x) ** 2 + (oy - o0y) ** 2 + (oz - o0z) ** 2)
+    # per-ray scene-bounds exit: every primitive lives inside the bbox, so
+    # any hit satisfies t <= t_exit_bb. Capping the early-exit comparison
+    # at the exit lets MISS rays (t_best = inf forever) release the
+    # tile-global scan — without it one sky lane forces a full-list scan
+    ex_x = jnp.maximum((bb_lo[0] - ox) * ix, (bb_hi[0] - ox) * ix)
+    ex_y = jnp.maximum((bb_lo[1] - oy) * iy, (bb_hi[1] - oy) * iy)
+    ex_z = jnp.maximum((bb_lo[2] - oz) * iz, (bb_hi[2] - oz) * iz)
+    t_exit_bb = jnp.minimum(jnp.minimum(ex_x, ex_y), ex_z)
 
     # ---- phase 1: hit search; carry (t_best, jwin) only ------------------
     t_best0 = jnp.full(shape, _INF, jnp.float32)
@@ -202,14 +210,15 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
 
     def scan_segment(test, base, cnt, carry):
         """Chunked early-exit scan of candidate rows [base, base+cnt);
-        ``base`` must be a CHUNK multiple (builders pad segments)."""
+        ``base`` must be a CHUNK multiple (builders pad segments). The
+        early-exit state update lives INSIDE the cond: closed chunks cost
+        one scalar branch, not a whole-tile reduction (the fori_loop always
+        runs n_chunks trips)."""
         end = base + cnt
 
         def chunk_step(ci, st):
-            t_best, jwin, open_ = st
-
             def do(st):
-                t_best, jwin = st
+                t_best, jwin, open_ = st
                 j0 = base + ci * CHUNK
                 blk = load_chunk(j0)
                 for k in range(CHUNK):
@@ -218,16 +227,16 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
                     upd = (t < t_best) & valid & (j < end)
                     t_best = jnp.where(upd, t, t_best)
                     jwin = jnp.where(upd, j, jwin)
-                return t_best, jwin
+                nxt = base + (ci + 1) * CHUNK
+                next_tlo = tab[jnp.minimum(nxt, c_max - 1), 0]
+                # remaining candidates hit ray i at t >= t_lo - d_c[i];
+                # a ray is released once min(t_best, bbox exit) precedes
+                # that bound (misses resolve at the exit, not at inf)
+                done = jnp.all(~alive | (jnp.minimum(t_best, t_exit_bb)
+                                         + d_c <= next_tlo))
+                return t_best, jwin, open_ & ~done & (nxt < end)
 
-            t_best, jwin = jax.lax.cond(open_, do, lambda s: s,
-                                        (t_best, jwin))
-            nxt = base + (ci + 1) * CHUNK
-            next_tlo = tab[jnp.minimum(nxt, c_max - 1), 0]
-            # remaining candidates hit ray i at t >= t_lo - d_c[i]
-            done = jnp.all(~alive | (t_best + d_c <= next_tlo))
-            open_ = open_ & ~done & (nxt < end)
-            return t_best, jwin, open_
+            return jax.lax.cond(st[2], do, lambda s: s, st)
 
         t_best, jwin, _ = jax.lax.fori_loop(
             0, n_chunks, chunk_step, (*carry, (cnt > 0) & any_alive))
@@ -255,9 +264,8 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
         end = base + cnt
 
         def chunk_step(ci, st_open):
-            st, open_ = st_open
-
-            def do(st):
+            def do(st_open):
+                st, open_ = st_open
                 out = dict(st)
                 j0 = base + ci * CHUNK
                 blk = load_chunk(j0)
@@ -274,12 +282,11 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
                     for gi, col in enumerate(geo_cols):
                         out[f"g{gi}"] = jnp.where(m, at(blk, k, col),
                                                   out[f"g{gi}"])
-                return out
+                nxt = base + (ci + 1) * CHUNK
+                done = jnp.all(jwin < nxt)
+                return out, open_ & ~done & (nxt < end)
 
-            st = jax.lax.cond(open_, do, lambda s: s, st)
-            nxt = base + (ci + 1) * CHUNK
-            done = jnp.all(jwin < nxt)
-            return st, open_ & ~done & (nxt < end)
+            return jax.lax.cond(st_open[1], do, lambda s: s, st_open)
 
         st, _ = jax.lax.fori_loop(
             0, n_chunks, chunk_step,
@@ -404,11 +411,7 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
     # dropped candidate could be hit (all primitives live inside the bbox,
     # so hits happen at t <= bbox exit). Per ray the bound is the
     # resolution radius tau = t_safe - d_c (centroid-anchored).
-    t_safe_ray = t_safe_pkt - d_c
-    ex_x = jnp.maximum((bb_lo[0] - ox) * ix, (bb_hi[0] - ox) * ix)
-    ex_y = jnp.maximum((bb_lo[1] - oy) * iy, (bb_hi[1] - oy) * iy)
-    ex_z = jnp.maximum((bb_lo[2] - oz) * iz, (bb_hi[2] - oz) * iz)
-    t_exit_bb = jnp.minimum(jnp.minimum(ex_x, ex_y), ex_z)
+    t_safe_ray = t_safe_pkt - d_c            # t_exit_bb hoisted to phase 1
 
     # ---- shade + respawn (raytracer.ts:166-277 via ops/trace._bounce) ----
     # mode decode: 0 keep, 1 mirror continuation, 2 emissive,
