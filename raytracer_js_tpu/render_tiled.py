@@ -84,13 +84,13 @@ def _spread3(x: Array) -> Array:
 def _morton_key(scene: Scene, org: Array, bits: int = 8) -> Array:
     """Fine Morton code of ray positions over the robust extent -> i32.
 
-    Retry rounds bin stragglers by THIS key alone: consecutive rays in a
-    Morton range are spatially compact, which bounds every packet's
-    centroid distance d_c — the stall condition of the resolution rounds
-    was sprawling leftover packets (ro ~ 20) whose far rays had
-    t_safe - d_c <= 0 forever. Direction is irrelevant here: divergent
-    packets measure cos_t ~ -1, so candidate selection is a centroid
-    ball-wave either way.
+    Retry rounds bin marching stragglers by (direction bin, this key):
+    consecutive rays of one bin+Morton range are spatially compact AND
+    direction coherent, so every packet gets a tight centroid ball (small
+    d_c — the r2 stall mode was sprawling packets with ro > t_safe) and a
+    bounding cone that actually fires (one backward ray in a packet
+    collapses cos_t to -1 and turns candidate selection into an isotropic
+    ball wave, wasting half the budget on primitives behind the march).
     """
     lo, hi = _robust_extent(scene)
     rel = (org - lo) / jnp.maximum(hi - lo, 1e-20)
@@ -255,7 +255,10 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     diag = jnp.linalg.norm(s_hi - s_lo) + 1e-6
     qt = jnp.clip((t_done / (diag / 16.0)).astype(jnp.int32), 0, 63)
     if fine_key:
-        key = (qt << 24) + _morton_key(scene, org)
+        # (stuck-horizon, direction bin, fine Morton): direction coherence
+        # keeps the packet cone alive for marching rays (see _morton_key)
+        key = (((qt << 6) + _dir_bin(dirs)) << 18) + _morton_key(scene, org,
+                                                                bits=6)
     else:
         key = ((qt * 4096 + _pos_cell(scene, org)) * 64
                + _dir_bin(dirs)).astype(jnp.int32)
@@ -363,12 +366,28 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
                                jnp.concatenate(v_parts))
         new_flat[6:9] = [colors[:, 0], colors[:, 1], colors[:, 2]]
     # bookkeeping: a resolved hit reports pid >= 0; an ALIVE ray with
-    # pid < 0 is unresolved (raise its cleared horizon to the PER-RAY
-    # sharpened bound t_safe - d_centroid, mirroring the kernel's
-    # resolution test)
+    # pid < 0 is unresolved. MARCH unresolved rays: the round proved no hit
+    # exists in [0, t_safe_ray), so advancing the origin through that
+    # interval is semantically exact (path accumulates the advance). This
+    # is the decisive convergence fix — a static origin needs cleared-ball
+    # volume ~ R^3 (the r2 escalation only converged because budgets
+    # approached the scene size), a marching origin advances a constant
+    # shell every round and re-bins next to the rays it is about to pass.
+    # The margin delta guards the f32 distance error in t_safe so no ray
+    # is pushed onto/через a surface it is about to hit.
     res_hit = pid_o >= 0
     unres = alive_s & ~res_hit & (new_flat[10] == int(RayStatus.ALIVE))
-    t_done_s = jnp.where(unres, jnp.maximum(t_done_s, t_safe_ray), t_done_s)
+    delta = 1e-4 * diag
+    t_adv = jnp.where(unres, jnp.maximum(t_safe_ray - delta, 0.0), 0.0)
+    for i in range(3):
+        new_flat[i] = new_flat[i] + t_adv * new_flat[3 + i]
+    new_flat[9] = new_flat[9] + t_adv
+    # remaining proven-clear distance ahead of the NEW origin; stays > 0
+    # only for rays that could not advance (sprawling packet, t_safe <= 0),
+    # whose growing quantized horizon escalates their binning isolation
+    t_done_s = jnp.where(
+        unres, jnp.maximum(jnp.maximum(t_done_s, t_safe_ray) - t_adv, 0.0),
+        t_done_s)
     new_flat += [t_done_s, res_hit.astype(jnp.int32), refr_o]
     # un-sort by the carried original positions (multi-operand sort again)
     _, *unsorted = jax.lax.sort((inv_pos, *new_flat), num_keys=1)
@@ -389,7 +408,7 @@ def _epilogue(cr, cg, cb, path, status, atten):
 #: extra retry rounds beyond refmax-1 for unresolved (truncated-list) rays.
 #: Segment-cond compaction makes retry rounds cost ~ the unresolved
 #: minority, so the default leans high — "unresolved" in the diag must be 0
-EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "6"))
+EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "10"))
 #: ceiling on the escalating retry candidate budgets. The wave kernel's
 #: double-buffered [c_max, N_ATTR] block lives on Mosaic's scoped-VMEM
 #: stack (16 MB limit the CompilerParams vmem_limit does NOT govern);
