@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .accel import candidates as cand
-from .config import JS_EPSILON, RayStatus, RenderConfig, TextureKind
+from .config import (HitBackend, JS_EPSILON, RayStatus, RenderConfig,
+                     TextureKind)
 from .kernels import trace_tiled as tt
 from .models import textures as tex_mod
 from .models.scene import Scene
@@ -418,11 +419,94 @@ EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "10"))
 #: resolved horizon by a constant-volume shell per round.
 ESC_MAX = int(__import__("os").environ.get("RT_TILED_ESC_MAX",
                                            str(1 << 14)))
-#: scenes up to this many prims get a guaranteed-exact FINAL rescue round
-#: with untruncated per-packet lists (t_safe = inf resolves every ray);
-#: bounded by the VMEM footprint of a full [P, N_ATTR] candidate block
-MAX_FULL_RESCUE = int(__import__("os").environ.get("RT_TILED_RESCUE",
-                                                   "6144"))
+#: ray capacity of one whole-table rescue round (see _rescue_round)
+RESCUE_CAP = int(__import__("os").environ.get("RT_TILED_RESCUE_CAP",
+                                              "32768"))
+
+
+def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
+                  seed, rid, accel=None):
+    """Guaranteed-exact straggler round: compact the still-working rays to
+    the front, run the PALLAS whole-table nearest-hit on the first
+    RESCUE_CAP of them, and shade/respawn through the XLA replay bounce
+    (ops/trace._bounce with pid_override — the same code path whose
+    gradients the fit loop replays).
+
+    The candidate rounds resolve the bulk cheaply; the residue that
+    ball/cone waves reach slowly (sparse stragglers whose packets sprawl,
+    long horizon-grazing paths) is exactly the population small enough
+    that streaming the ENTIRE primitive table past it costs ~nothing
+    (kernels/nearest_hit: ~0.01 cyc/ray/prim -> ~30 ms for 32k rays at
+    100k prims). One round fully resolves up to RESCUE_CAP rays — hit,
+    miss, or continuation (the continuation spends one bounce and is
+    caught by the next rescue round).
+
+    ``cols`` are the 11 state columns as [rows, LANE]; ``bounce``/``refr``
+    are flat [n]; returns the updated (cols, bounce, refr).
+    """
+    import dataclasses as _dc
+
+    from .ops.trace import RayState, _bounce, nearest_hit
+
+    rows = cols[0].shape[0]
+    n = rows * tt.LANE
+    cap = min(RESCUE_CAP, n)
+    flat = [c.reshape(-1) for c in cols]
+    working = ((flat[10] == int(RayStatus.ALIVE))
+               & (bounce < cfg.refmax))
+
+    def run(args):
+        flat, bounce, refr = args
+        key = jnp.where(working, 0, 1).astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        rid_s = rid if rid is not None else jnp.zeros((n,), jnp.int32)
+        _, inv_pos, *ops_s = jax.lax.sort(
+            (key, idx, *flat, bounce, refr, rid_s), num_keys=1)
+        flat_s, bounce_s, refr_s, rid_ss = (ops_s[:11], ops_s[11],
+                                            ops_s[12], ops_s[13])
+        sl = [f[:cap] for f in flat_s]
+        org = jnp.stack(sl[0:3], -1)
+        dirs = jnp.stack(sl[3:6], -1)
+        # whole-table search on the compacted slice (discrete; replayed
+        # differentiably by the fit loop exactly like every other backend)
+        pcfg = _dc.replace(cfg, backend=HitBackend.PALLAS)
+        _t, pid = nearest_hit(scene, pcfg, org, dirs)
+        work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
+            bounce_s[:cap] < cfg.refmax)
+        pid = jnp.where(work_sl, pid, -1)
+        st = RayState(org=org, dir=dirs,
+                      color=jnp.stack(sl[6:9], -1),
+                      path=sl[9],
+                      refr=refr_s[:cap],
+                      status=jnp.where(work_sl, int(RayStatus.ALIVE),
+                                       jnp.where(sl[10] == int(
+                                           RayStatus.ALIVE), _CAP,
+                                           sl[10])))
+        rng = (seed, rid_ss[:cap]) if scene.has_rough else None
+        out = _bounce(scene, cfg, accel, st, rng, bounce_s[:cap],
+                      pid_override=pid)
+        cont = work_sl & (out.status == int(RayStatus.ALIVE))
+        bounce_new = bounce_s[:cap] + jnp.where(cont, 1, 0)
+        status_out = jnp.where(out.status == _CAP, int(RayStatus.ALIVE),
+                               out.status)
+        new_sl = [out.org[:, 0], out.org[:, 1], out.org[:, 2],
+                  out.dir[:, 0], out.dir[:, 1], out.dir[:, 2],
+                  out.color[:, 0], out.color[:, 1], out.color[:, 2],
+                  out.path, status_out]
+        flat_n = [jnp.concatenate([a, f[cap:]])
+                  for a, f in zip(new_sl, flat_s)]
+        bounce_n = jnp.concatenate([bounce_new, bounce_s[cap:]])
+        refr_n = jnp.concatenate([out.refr, refr_s[cap:]])
+        _, *back = jax.lax.sort((inv_pos, *flat_n, bounce_n, refr_n),
+                                num_keys=1)
+        return back[:11], back[11], back[12]
+
+    def skip(args):
+        return args
+
+    flat, bounce, refr = jax.lax.cond(jnp.any(working), run, skip,
+                                      (flat, bounce, refr))
+    return ([f.reshape(rows, tt.LANE) for f in flat], bounce, refr)
 
 
 def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
@@ -512,28 +596,15 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         bounce = jnp.where(st["status"].reshape(-1)
                            == int(RayStatus.ALIVE), 1, 0)
         t_done = jnp.zeros((n,), jnp.float32)
-        from .accel.candidates import SEG_ALIGN, _pad_align
-
         # round plan: (c_max, packet height, fine-morton key). Standard
-        # rounds use full packets + (cell, dir) binning; retry rounds use
-        # 128-ray Morton-compact packets so straggler packets stay tight
-        # (sprawling leftover packets were the stall mode — their far rays
-        # had t_safe - d_c <= 0 every round).
-        # Retry rounds: Morton binning (de-sprawls leftover packets; Mosaic
-        # requires >=8-sublane ray blocks so the packet height stays) plus
-        # an ESCALATING candidate budget — a sprawling packet whose spread
-        # exceeds its cleared horizon freezes (nothing excludable, same
-        # t_safe every round); doubling the budget grows the resolved
-        # shell ~cbrt(2) per retry, so every ray eventually progresses.
-        esc = [min(packet_c_max << (i + 1), ESC_MAX)
-               for i in range(EXTRA_ROUNDS)]
+        # rounds use full packets + (cell, dir) binning; retry rounds bin
+        # by (direction, fine Morton) and MARCH unresolved rays through
+        # their proven-empty horizon each round (packet_bounce), so flat
+        # budgets suffice — termination is guaranteed by the whole-table
+        # rescue rounds below, not by escalating budgets.
+        esc = [min(packet_c_max, ESC_MAX)] * EXTRA_ROUNDS
         rounds = ([(packet_c_max, tt.WAVE_SUB, False)] * (cfg.refmax - 1)
                   + [(c, tt.WAVE_SUB, True) for c in esc])
-        if scene.n_prims <= MAX_FULL_RESCUE:
-            # guaranteed-exact finale: untruncated lists -> t_safe = inf.
-            # One rescue per remaining bounce (a rescued ray may respawn).
-            full = _pad_align(scene.n_prims) + 3 * SEG_ALIGN
-            rounds += [(full, tt.WAVE_SUB, True)] * (cfg.refmax - 1)
         for c_round, wsub, fine in rounds:
             status_f = cols[10].reshape(-1)
             working = ((status_f == int(RayStatus.ALIVE))
@@ -568,6 +639,11 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             status_o = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
                                  status_o)
             cols[10] = status_o.reshape(rows, tt.LANE)
+        # guaranteed-exact finale: whole-table rescue of the stragglers
+        # (skip-cheap once everything is resolved)
+        for _ in range(cfg.refmax + 3):
+            cols, bounce, refr = _rescue_round(scene, cfg, cols, bounce,
+                                               refr, seed, rid, accel=accel)
         unresolved = jnp.sum(
             ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
              & (bounce < cfg.refmax)).astype(jnp.int32))

@@ -117,6 +117,35 @@ def main():
 
     timeit("argsort_BxP", jax.jit(argsort_only), inc, tlo)
 
+    # the pack row-gather alone: [B*c_max, N_ATTR] rows from the per-prim
+    # table at realistic (spatially clustered) indices
+    rng = np.random.default_rng(0)
+    pid_fake = jnp.asarray(
+        rng.integers(0, scene.n_prims, (128 * c_max,)).astype(np.int32))
+    tlo_fake = jnp.zeros((128 * c_max,), jnp.float32)
+    pk = jax.jit(lambda p, t: cand.pack_candidate_attrs_jnp(scene, p, t))
+    timeit("pack_rowgather", pk, pid_fake, tlo_fake)
+
+    # take_along_axis slice of the argsort output (3 operands)
+    def takes(include, t_lo, order):
+        pid_all = jnp.arange(scene.n_prims, dtype=jnp.int32)
+        pid = jnp.take_along_axis(
+            jnp.broadcast_to(pid_all[None], include.shape), order, axis=1)
+        inc_sel = jnp.take_along_axis(include, order, axis=1)
+        tlo_sel = jnp.take_along_axis(t_lo, order, axis=1)
+        return pid, inc_sel, tlo_sel
+
+    order = jax.jit(argsort_only)(inc, tlo)
+    timeit("take_along_x3", jax.jit(takes), inc, tlo, order)
+
+    # top-k replacement for the argsort (approx_max_k, TPU-optimized)
+    def topk_sel(include, t_lo):
+        key = jnp.where(include, -t_lo, -jnp.float32(1e30))
+        _, idx = jax.lax.approx_max_k(key, c_max)
+        return idx
+
+    timeit("approx_topk", jax.jit(topk_sel), inc, tlo)
+
     # wave kernel on prebuilt tables
     cols2 = [jnp.asarray(c.reshape(-1, tt.LANE)) for c in seg_cols]
     wb = jax.jit(lambda cols, tb, ct: tt.wave_bounce(
