@@ -239,17 +239,17 @@ def run_config(args):
     if use_tiled:
         from raytracer_js_tpu.render_tiled import frame_tables
 
-        tab, cnts, c_max = frame_tables(scene, cam)
-        detail.update(c_max=c_max,
+        tab, cnts, c_max, grid = frame_tables(scene, cam)
+        detail.update(c_max=c_max, grid_c_max=grid.c_max,
                       cand_mean=float(np.asarray(cnts)[:, :3].sum(1).mean()))
-        fn = jax.jit(lambda s, tb, ct: render_hdr(
-            s, cam, cfg, tables=(tb, ct, c_max)))
-        fn = functools.partial(fn, tb=tab, ct=cnts)
+        fn = jax.jit(lambda s, tb, ct, gr: render_hdr(
+            s, cam, cfg, tables=(tb, ct, c_max, gr)))
+        fn = functools.partial(fn, tb=tab, ct=cnts, gr=grid)
         from raytracer_js_tpu.render_tiled import render_frame_tiled
 
-        _, diag = jax.jit(lambda s, tb, ct: render_frame_tiled(
-            s, cfg, cam, tables=(tb, ct, c_max), with_diag=True))(
-                scene, tab, cnts)
+        _, diag = jax.jit(lambda s, tb, ct, gr: render_frame_tiled(
+            s, cfg, cam, tables=(tb, ct, c_max, gr), with_diag=True))(
+                scene, tab, cnts, grid)
         detail["unresolved"] = int(diag["unresolved"])  # 0 == exact frame
     else:
         fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))

@@ -535,3 +535,332 @@ def pack_candidate_attrs_jnp(scene: Scene, pid: Array, t_lo: Array,
     out = out.at[:, 0].set(jnp.where(pid >= 0, t_lo, jnp.inf))
     out = out.at[:, 1].set(jnp.maximum(pid, 0).astype(jnp.float32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cell-grid candidate selection — the sort-free packet path
+# ---------------------------------------------------------------------------
+#
+# The [B, P] rowwise selection above pays, per live segment, ~21 ms for the
+# argsort, ~16 ms for its take_alongs and ~15-20 ms for the per-packet
+# type-segmentation sort (measured r3, tools/exp_c4_split). This path
+# replaces ALL of that with [B, G]-cell arithmetic over a uniform grid
+# (G = g^3): per packet, cells are visited in a HOST-PRECOMPUTED
+# center-distance order (one row gather), budget-cut by a cumulative
+# count, and expanded into candidate rows straight from per-type CSR
+# lists — no sorts anywhere. The visit order is an approximation (anchored
+# at the packet's cell center, not its exact centroid); EXACTNESS is
+# unaffected: the resolution bound t_safe is the exact masked min of t_lo
+# over every kept-but-unselected cell, and each row's col-0 carries the
+# per-segment SUFFIX MIN of t_lo so the kernel's near-to-far early exit
+# reads a true lower bound under the (only approximately sorted) order.
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class CellGrid:
+    """Uniform-cell CSR over the robust extent (host-built, device-read).
+
+    ``order[c]`` lists all G cells by center distance from cell c.
+    ``bound[c]`` is a conservative radius such that every listed prim's
+    surface lies within ``bound`` of the cell center (prims are listed in
+    every cell their bounding AABB overlaps). Only prims whose bounding
+    AABB lies FULLY inside the grid extent enter the cell CSRs — a hit on
+    such a prim always lands in a covered cell. Everything else (clamped
+    straddlers: a ground slab, an out-of-field light) goes to the
+    per-type ``glob`` lists, which every packet includes verbatim with
+    exact per-packet t_lo — without this split one huge clamped prim
+    poisons the boundary cells' ``bound`` and pins t_safe at 0 scene-wide.
+    ``off``/``ids`` are per-type (sphere, box, tri) CSRs of GLOBAL prim
+    ids; ``cnt`` per-cell counts as f32. Static ``budget``/``base``/
+    ``c_max`` fix the packed layout.
+    """
+    g: int
+    centers: Array        # [G, 3]
+    bound: Array          # [G]
+    order: Array          # [G, G] i32
+    off_s: Array          # [G+1] i32
+    off_b: Array
+    off_t: Array
+    cnt_s: Array          # [G] f32
+    cnt_b: Array
+    cnt_t: Array
+    ids_s: Array          # [Ks] i32
+    ids_b: Array
+    ids_t: Array
+    glob_s: Array         # [n_gs] i32 out-of-grid prim ids (may be empty)
+    glob_b: Array
+    glob_t: Array
+    lo: Array             # [3]
+    inv_h: Array          # [3]
+    budget: Tuple[int, int, int]
+    base: Tuple[int, int, int]
+    c_max: int
+
+
+jax.tree_util.register_dataclass(
+    CellGrid,
+    data_fields=["centers", "bound", "order", "off_s", "off_b", "off_t",
+                 "cnt_s", "cnt_b", "cnt_t", "ids_s", "ids_b", "ids_t",
+                 "glob_s", "glob_b", "glob_t", "lo", "inv_h"],
+    meta_fields=["g", "budget", "base", "c_max"])
+
+
+def build_cell_grid(scene: Scene, g: int = 16,
+                    c_sel: int = 4096) -> "CellGrid":
+    """Host-side uniform-grid CSR build + distance-order table.
+
+    Prims are listed (by global id, type-segregated) in every cell their
+    bounding AABB overlaps — straddlers like a ground box simply occupy
+    many cells. The grid spans the SMALL-prim robust extent (outliers
+    clamp into boundary cells), mirroring render_tiled._robust_extent.
+    ``c_sel`` sizes the static per-type row budgets (split by CSR mass).
+    """
+    centers, radii = bounding_spheres_np(scene)
+    p = centers.shape[0]
+    if p == 0:
+        raise ValueError("empty scene has no candidate grid")
+    med = np.median(radii) if p else 1.0
+    small = radii <= 8.0 * med + 1e-12
+    if not small.any():
+        small = np.ones_like(small)
+    lo = (centers - radii[:, None])[small].min(0) - 1e-3
+    hi = (centers + radii[:, None])[small].max(0) + 1e-3
+    h = np.maximum((hi - lo) / g, 1e-6)
+    G = g ** 3
+
+    # prims whose AABB pokes outside the extent go to the global lists:
+    # their surface can lie where no cell exists, and their (possibly
+    # huge) radius must not inflate any cell's bound
+    in_grid = (((centers - radii[:, None]) >= lo - 1e-6).all(1)
+               & ((centers + radii[:, None]) <= hi + 1e-6).all(1))
+
+    clo = np.clip(np.floor((centers - radii[:, None] - lo) / h), 0,
+                  g - 1).astype(np.int64)
+    chi = np.clip(np.floor((centers + radii[:, None] - lo) / h), 0,
+                  g - 1).astype(np.int64)
+    span = chi - clo + 1
+    # fast path: prims spanning <= 2 cells/axis are covered by their 8
+    # AABB corner cells; the (few) larger straddlers get a python loop
+    fast = (span <= 2).all(axis=1) & in_grid
+    cell_lists = []   # (cell_lin, pid) pairs
+    idx_fast = np.nonzero(fast)[0]
+    if idx_fast.size:
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    cx = np.minimum(clo[idx_fast, 0] + dx, chi[idx_fast, 0])
+                    cy = np.minimum(clo[idx_fast, 1] + dy, chi[idx_fast, 1])
+                    cz = np.minimum(clo[idx_fast, 2] + dz, chi[idx_fast, 2])
+                    cell_lists.append(((cx * g + cy) * g + cz, idx_fast))
+    for i in np.nonzero(~fast & in_grid)[0]:
+        xs = np.arange(clo[i, 0], chi[i, 0] + 1)
+        ys = np.arange(clo[i, 1], chi[i, 1] + 1)
+        zs = np.arange(clo[i, 2], chi[i, 2] + 1)
+        cc = ((xs[:, None, None] * g + ys[None, :, None]) * g
+              + zs[None, None, :]).ravel()
+        cell_lists.append((cc, np.full(cc.shape, i, np.int64)))
+    cell_lin = np.concatenate([c for c, _ in cell_lists])
+    pid_lin = np.concatenate([pp for _, pp in cell_lists])
+    # dedupe (corner cells coincide when span == 1)
+    key = cell_lin * p + pid_lin
+    key = np.unique(key)
+    cell_lin = key // p
+    pid_lin = key % p
+
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+    halfdiag = float(np.linalg.norm(h) / 2.0)
+    offs, cnts, idss, globs = [], [], [], []
+    bound = np.full(G, halfdiag, np.float64)
+    for t_lo_, t_hi_ in ((0, s_end), (s_end, b_end), (b_end, p)):
+        gm = ~in_grid & (np.arange(p) >= t_lo_) & (np.arange(p) < t_hi_)
+        globs.append(np.nonzero(gm)[0].astype(np.int32))
+        m = (pid_lin >= t_lo_) & (pid_lin < t_hi_)
+        cl, pi = cell_lin[m], pid_lin[m]
+        ordr = np.argsort(cl, kind="stable")
+        cl, pi = cl[ordr], pi[ordr]
+        cnt = np.bincount(cl, minlength=G)
+        off = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+        offs.append(off)
+        cnts.append(cnt.astype(np.float32))
+        idss.append(pi.astype(np.int32) if pi.size
+                    else np.zeros((1,), np.int32))
+        if pi.size:
+            rmax = np.zeros(G)
+            np.maximum.at(rmax, cl, radii[pi])
+            bound = np.maximum(bound, halfdiag + (np.sqrt(3.0) + 1.0) * rmax)
+
+    gi = np.arange(g)
+    ccenters = lo + (np.stack(np.meshgrid(gi, gi, gi, indexing="ij"),
+                              axis=-1).reshape(-1, 3) + 0.5) * h
+    d2 = ((ccenters[:, None, :] - ccenters[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1, kind="stable").astype(np.int32)
+
+    mass = np.array([max(int(c.sum()), 0) for c in cnts], np.float64)
+    tot = max(mass.sum(), 1.0)
+    budget, base = [], []
+    a = 0
+    for k in range(3):
+        bk = 0
+        if mass[k] > 0:
+            bk = int(max(2 * SEG_ALIGN,
+                         min(_pad_align(int(c_sel * mass[k] / tot)),
+                             _pad_align(int(mass[k])))))
+        base.append(a)
+        budget.append(bk)
+        # segment capacity: globals prefix + cell rows, CHUNK-aligned
+        a += _pad_align(len(globs[k]) + bk) if (bk or len(globs[k])) else 0
+    gnp = [gl if gl.size else np.zeros((0,), np.int32) for gl in globs]
+    return CellGrid(
+        g=g, centers=jnp.asarray(ccenters, jnp.float32),
+        bound=jnp.asarray(bound, jnp.float32),
+        order=jnp.asarray(order),
+        off_s=jnp.asarray(offs[0]), off_b=jnp.asarray(offs[1]),
+        off_t=jnp.asarray(offs[2]),
+        cnt_s=jnp.asarray(cnts[0]), cnt_b=jnp.asarray(cnts[1]),
+        cnt_t=jnp.asarray(cnts[2]),
+        ids_s=jnp.asarray(idss[0]), ids_b=jnp.asarray(idss[1]),
+        ids_t=jnp.asarray(idss[2]),
+        glob_s=jnp.asarray(gnp[0]), glob_b=jnp.asarray(gnp[1]),
+        glob_t=jnp.asarray(gnp[2]),
+        lo=jnp.asarray(lo, jnp.float32),
+        inv_h=jnp.asarray(1.0 / h, jnp.float32),
+        budget=tuple(budget), base=tuple(base),
+        c_max=max(a, SEG_ALIGN))
+
+
+def packet_candidates_grid(scene: Scene, grid: "CellGrid", org: Array,
+                           dir: Array, alive: Array, packet: int,
+                           t_done: Array | None = None,
+                           table: Array | None = None):
+    """Sort-free traced candidate tables from the cell grid.
+
+    Same contract as :func:`packet_candidates` — returns
+    ``(tab [B*c_max, N_ATTR], cnts [B, 8], t_safe [B])`` with col 0 of
+    ``tab`` holding the per-segment SUFFIX MIN of the cell t_lo bounds
+    (see module note) — plus the STATIC segment bases the kernel needs
+    (`grid.base`), since the cell path lays types out at fixed offsets.
+    """
+    b = org.shape[0] // packet
+    G = grid.centers.shape[0]
+    o0, ro, axis, cos_t = packet_cones(org, dir, alive, packet)
+    v = grid.centers[None] - o0[:, None]                       # [B, G, 3]
+    cdist = jnp.linalg.norm(v, axis=-1)
+    t_lo_c = jnp.maximum(cdist - grid.bound[None], 0.0)
+    rr = grid.bound[None] + ro[:, None]
+    inside = cdist <= rr * (1.0 + 1e-5) + 1e-7
+    sin_a = jnp.clip(rr / jnp.maximum(cdist, 1e-20), 0.0, 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+    cos_b = jnp.einsum("bgk,bk->bg", v, axis,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) / jnp.maximum(cdist, 1e-20)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    keep = inside | (cos_b >= cos_a * cos_t[:, None]
+                     - sin_a * sin_t[:, None] - 1e-5)
+    keep = keep | (cos_t[:, None] < 0.25)
+    keep = keep & (cos_t[:, None] <= 1.0)          # all-dead packet: none
+    if t_done is not None:
+        live = alive.reshape(b, packet)
+        d_c = jnp.linalg.norm(org.reshape(b, packet, 3) - o0[:, None],
+                              axis=-1)
+        floor = jnp.min(jnp.where(live,
+                                  t_done.reshape(b, packet) - d_c,
+                                  jnp.inf), axis=1)
+        floor = jnp.where(jnp.isfinite(floor), floor, -jnp.inf)
+        keep = keep & (cdist + grid.bound[None] > floor[:, None])
+
+    # visit order anchored at the packet's own cell
+    q = jnp.clip(((o0 - grid.lo[None]) * grid.inv_h[None]).astype(jnp.int32),
+                 0, grid.g - 1)
+    c0 = (q[:, 0] * grid.g + q[:, 1]) * grid.g + q[:, 2]       # [B]
+    order = grid.order[c0]                                     # [B, G]
+    keep_o = jnp.take_along_axis(keep, order, axis=1)
+    tlo_o = jnp.take_along_axis(t_lo_c, order, axis=1)
+
+    centers_all, radii_all = bounding_spheres_jnp(scene)
+    pid_rows, tlo_rows, counts, safes = [], [], [], []
+    for cnt_c, off_c, ids_c, glob, budget in (
+            (grid.cnt_s, grid.off_s, grid.ids_s, grid.glob_s,
+             grid.budget[0]),
+            (grid.cnt_b, grid.off_b, grid.ids_b, grid.glob_b,
+             grid.budget[1]),
+            (grid.cnt_t, grid.off_t, grid.ids_t, grid.glob_t,
+             grid.budget[2])):
+        n_g = int(glob.shape[0])
+        if budget == 0 and n_g == 0:
+            counts.append(jnp.zeros((b,), jnp.float32))
+            safes.append(jnp.full((b,), jnp.inf, jnp.float32))
+            continue
+        # out-of-grid prims: always included, exact per-packet t_lo
+        if n_g:
+            gc = centers_all[glob]                             # [n_g, 3]
+            gr = radii_all[glob]
+            gdist = jnp.linalg.norm(gc[None] - o0[:, None], axis=-1)
+            g_tlo = jnp.maximum(gdist - gr[None], 0.0)         # [B, n_g]
+            g_pid = jnp.broadcast_to(glob[None], (b, n_g))
+        if budget:
+            cnt_o = jnp.take_along_axis(
+                jnp.broadcast_to(cnt_c[None], (b, G)), order, axis=1)
+            cnt_o = jnp.where(keep_o, cnt_o, 0.0)
+            cum = jnp.cumsum(cnt_o, axis=1)                    # [B, G] f32
+            sel = cum <= float(budget)                         # whole cells
+            n_rows = jnp.max(jnp.where(sel, cum, 0.0), axis=1)  # [B]
+            t_safe_t = jnp.min(jnp.where(keep_o & ~sel, tlo_o, jnp.inf),
+                               axis=1)
+            jq = jnp.arange(budget, dtype=jnp.float32)[None]   # [1, Q]
+            rj = jax.vmap(
+                lambda c, q_: jnp.searchsorted(c, q_, side="right"))(
+                    cum, jnp.broadcast_to(jq, (b, budget)))    # [B, Q]
+            rj = jnp.minimum(rj, G - 1)
+            valid = jq < n_rows[:, None]
+            cell_j = jnp.take_along_axis(order, rj, axis=1)
+            prev = jnp.where(rj > 0,
+                             jnp.take_along_axis(cum,
+                                                 jnp.maximum(rj - 1, 0),
+                                                 axis=1), 0.0)
+            base_j = off_c[cell_j]
+            local = (jq - prev).astype(jnp.int32)
+            idx = jnp.clip(base_j + local, 0, ids_c.shape[0] - 1)
+            pid = jnp.where(valid, ids_c[idx], -1)
+            tlo_row = jnp.where(valid,
+                                jnp.take_along_axis(tlo_o, rj, axis=1),
+                                jnp.inf)
+        else:
+            n_rows = jnp.zeros((b,), jnp.float32)
+            t_safe_t = jnp.full((b,), jnp.inf, jnp.float32)
+            pid = jnp.full((b, 0), -1, jnp.int32)
+            tlo_row = jnp.full((b, 0), jnp.inf, jnp.float32)
+        if n_g:
+            # globals prefix: valid rows must stay contiguous, so the
+            # (always-valid) globals go first, cell rows after
+            pid = jnp.concatenate([g_pid, pid], axis=1)
+            tlo_row = jnp.concatenate([g_tlo, tlo_row], axis=1)
+            n_rows = n_rows + n_g
+        # per-segment suffix min -> a true lower bound for the kernel's
+        # early exit under the approximate visit order
+        tlo_row = jnp.flip(
+            jax.lax.cummin(jnp.flip(tlo_row, axis=1), axis=1), axis=1)
+        width = n_g + budget
+        pad = _pad_align(width) - width
+        if pad:
+            pid = jnp.pad(pid, ((0, 0), (0, pad)), constant_values=-1)
+            tlo_row = jnp.pad(tlo_row, ((0, 0), (0, pad)),
+                              constant_values=jnp.inf)
+        pid_rows.append(pid)
+        tlo_rows.append(tlo_row)
+        counts.append(n_rows)
+        safes.append(t_safe_t)
+
+    pid_all = (jnp.concatenate(pid_rows, axis=1) if pid_rows
+               else jnp.full((b, SEG_ALIGN), -1, jnp.int32))
+    tlo_all = (jnp.concatenate(tlo_rows, axis=1) if tlo_rows
+               else jnp.full((b, SEG_ALIGN), jnp.inf))
+    t_safe = jnp.minimum(jnp.minimum(safes[0], safes[1]), safes[2])
+    cnts = jnp.concatenate(
+        [jnp.stack(counts, axis=1), t_safe[:, None], o0, ro[:, None]],
+        axis=1)
+    tab = pack_candidate_attrs_jnp(scene, pid_all.reshape(-1),
+                                   tlo_all.reshape(-1), table=table)
+    return tab, cnts, t_safe

@@ -86,7 +86,7 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
                  ox, oy, oz, dx, dy, dz, col_r, col_g, col_b,
                  path, status, sky_r, sky_g, sky_b,
                  want_uv=False, sky_solid=True, has_trans=False,
-                 want_normal=False):
+                 want_normal=False, static_bases=None):
     """One traverse->intersect->shade->respawn pass over one ray tile.
 
     ``tab`` is the tile's [c_max, N_ATTR] candidate ref (see
@@ -242,8 +242,12 @@ def _bounce_tile(tab, cnt_s, cnt_b, cnt_t, t_safe, bb_lo, bb_hi, c_max,
             0, n_chunks, chunk_step, (*carry, (cnt > 0) & any_alive))
         return t_best, jwin
 
-    base_b = _pad_chunk(cnt_s)
-    base_t = base_b + _pad_chunk(cnt_b)
+    if static_bases is None:
+        base_b = _pad_chunk(cnt_s)
+        base_t = base_b + _pad_chunk(cnt_b)
+    else:
+        # cell-grid tables lay segments out at fixed offsets
+        base_b, base_t = static_bases
     carry = (t_best0, jwin0)
     carry = scan_segment(sphere_t, 0, cnt_s, carry)
     carry = scan_segment(box_t, base_b, cnt_b, carry)
@@ -513,7 +517,7 @@ def _frame_kernel(cam_ref, cnt_ref, tab_ref, *refs,
 
 def _wave_kernel(cam_ref, cnt_ref, tab_ref, *refs,
                  c_max, want_uv, sky_solid, has_trans=False,
-                 want_normal=False):
+                 want_normal=False, static_bases=None):
     """Wavefront entry: one bounce of an arbitrary (packetized) wavefront.
     ``refs`` = 11 input state refs then the 15 (+3 normal) output refs."""
     row = pl.program_id(0)
@@ -529,7 +533,7 @@ def _wave_kernel(cam_ref, cnt_ref, tab_ref, *refs,
         *(r[:, :] for r in ins),
         cam_ref[0, 16], cam_ref[0, 17], cam_ref[0, 18],
         want_uv=want_uv, sky_solid=sky_solid, has_trans=has_trans,
-        want_normal=want_normal)
+        want_normal=want_normal, static_bases=static_bases)
     for ref, val in zip(outs, out):
         ref[:, :] = val
 
@@ -596,13 +600,14 @@ def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, want_uv, sky_solid,
 @functools.partial(jax.jit, static_argnames=("c_max", "want_uv",
                                              "sky_solid", "has_trans",
                                              "want_normal", "wave_sub",
-                                             "interpret"))
+                                             "static_bases", "interpret"))
 def _wave_call(cam_arr, cnts, tab, cols, c_max, want_uv, sky_solid,
                has_trans=False, want_normal=False, wave_sub=WAVE_SUB,
-               interpret=False):
+               static_bases=None, interpret=False):
     kern = functools.partial(_wave_kernel, c_max=c_max, want_uv=want_uv,
                              sky_solid=sky_solid, has_trans=has_trans,
-                             want_normal=want_normal)
+                             want_normal=want_normal,
+                             static_bases=static_bases)
     rows = cols[0].shape[0]
     nblk = rows // wave_sub
     tile = pl.BlockSpec((wave_sub, LANE), lambda i: (i, 0),
@@ -665,7 +670,7 @@ def frame_bounce0(scene, cam, tab, cnts, c_max, interpret=None):
 
 
 def wave_bounce(scene, cols, tab, cnts, c_max, wave_sub=WAVE_SUB,
-                interpret=None):
+                static_bases=None, interpret=None):
     """One bounce of a packetized wavefront. ``cols`` is the 11-tuple
     (ox..dz, cr, cg, cb, path, status) of [rows, 128] arrays; returns the
     15-tuple including (t, pid, u, v) (+3 normals for glue scenes).
@@ -684,5 +689,5 @@ def wave_bounce(scene, cols, tab, cnts, c_max, wave_sub=WAVE_SUB,
         jnp.asarray(bb_hi, jnp.float32).reshape(3),
         jnp.zeros((TCAM_SLOTS - 27,), jnp.float32)]).reshape(1, TCAM_SLOTS)
     return _wave_call(cam_arr, cnts, tab, tuple(cols), c_max,
-                      wave_sub=wave_sub, **_flags(scene),
-                      interpret=interpret)
+                      wave_sub=wave_sub, static_bases=static_bases,
+                      **_flags(scene), interpret=interpret)

@@ -59,10 +59,14 @@ def supports(scene: Scene) -> bool:
     return True
 
 
-def frame_tables(scene: Scene, cam):
-    """Host-side bounce-0 candidate tables (cache across frames while the
-    camera pose and scene geometry are unchanged)."""
-    return cand.frame_candidates(scene, cam, tt.TILE_SUB, tt.LANE)
+def frame_tables(scene: Scene, cam, packet_c_max: int = 4096):
+    """Host-side bounce-0 candidate tables + the packet-round cell grid
+    (cache across frames while the camera pose and scene geometry are
+    unchanged). Returns ``(tab, cnts, c_max, grid)``."""
+    tab, cnts, c_max = cand.frame_candidates(scene, cam, tt.TILE_SUB,
+                                             tt.LANE)
+    grid = cand.build_cell_grid(scene, c_sel=packet_c_max)
+    return tab, cnts, c_max, grid
 
 
 def _dir_bin(d: Array) -> Array:
@@ -220,7 +224,7 @@ _CAP = 7
 
 def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
                   rng=None, accel=None, wave_sub: Optional[int] = None,
-                  fine_key: bool = False,
+                  fine_key: bool = False, grid=None,
                   interpret: Optional[bool] = None):
     """One ROUND of the divergent-bounce loop: sort active rays into
     coherent packets, build per-packet candidate tables on device, advance
@@ -312,12 +316,22 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
         def do_seg(args, r0=r0, r1=r1):
             (seg_cols, seg_org, seg_dir, seg_alive, seg_tdone,
              seg_rng, seg_refr) = args
-            tab, cnts, t_safe = cand.packet_candidates(
-                scene, seg_org, seg_dir, seg_alive, packet, c_max,
-                t_done=seg_tdone)
+            if grid is not None:
+                tab, cnts, t_safe = cand.packet_candidates_grid(
+                    scene, grid, seg_org, seg_dir, seg_alive, packet,
+                    t_done=seg_tdone)
+                kc_max = grid.c_max
+                bases = (grid.base[1], grid.base[2])
+            else:
+                tab, cnts, t_safe = cand.packet_candidates(
+                    scene, seg_org, seg_dir, seg_alive, packet, c_max,
+                    t_done=seg_tdone)
+                kc_max = c_max
+                bases = None
             cols2 = [c.reshape(r1 - r0, tt.LANE) for c in seg_cols]
-            outs = tt.wave_bounce(scene, cols2, tab, cnts, c_max,
-                                  wave_sub=wave_sub, interpret=interpret)
+            outs = tt.wave_bounce(scene, cols2, tab, cnts, kc_max,
+                                  wave_sub=wave_sub, static_bases=bases,
+                                  interpret=interpret)
             o0_ray = jnp.repeat(cnts[:, 4:7], packet, axis=0)
             d_c = jnp.linalg.norm(seg_org - o0_ray, axis=-1)
             t_safe_ray = jnp.repeat(t_safe, packet) - d_c
@@ -536,8 +550,12 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
     from .ops import sampling
 
     if tables is None:
-        tables = frame_tables(scene, cam)
-    tab, cnts, c_max = tables
+        tables = frame_tables(scene, cam, packet_c_max=packet_c_max)
+    if len(tables) == 4:
+        tab, cnts, c_max, grid = tables
+    else:                       # legacy 3-tuple: rowwise packet selection
+        tab, cnts, c_max = tables
+        grid = None
     need_glue = scene.has_rough or scene.has_transmission
     st = tt.frame_bounce0(scene, cam, tab, cnts, c_max, interpret=interpret)
     hp, wp = st["cr"].shape
@@ -602,48 +620,74 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         # their proven-empty horizon each round (packet_bounce), so flat
         # budgets suffice — termination is guaranteed by the whole-table
         # rescue rounds below, not by escalating budgets.
-        esc = [min(packet_c_max, ESC_MAX)] * EXTRA_ROUNDS
-        rounds = ([(packet_c_max, tt.WAVE_SUB, False)] * (cfg.refmax - 1)
-                  + [(c, tt.WAVE_SUB, True) for c in esc])
-        for c_round, wsub, fine in rounds:
+        c_round = min(packet_c_max, ESC_MAX)
+
+        def one_round(cols, t_done, refr, bounce, fine):
+            """One candidate round: cap-mask, packet_bounce, bounce += on
+            resolved continuations. Identical for every retry, so the
+            retry loop compiles ONE body (a fully unrolled 16-round plan
+            took ~1 h of XLA compile at config-4 scale)."""
             status_f = cols[10].reshape(-1)
-            working = ((status_f == int(RayStatus.ALIVE))
-                       & (bounce < cfg.refmax))
             capped = ((status_f == int(RayStatus.ALIVE))
                       & (bounce >= cfg.refmax))
-            status_in = jnp.where(capped, _CAP, status_f)
-            cols[10] = status_in.reshape(rows, tt.LANE)
-
-            # whole-round skip: once every ray is resolved the remaining
-            # retry rounds cost one reduction each (the global packet sorts
-            # are inside the cond)
-            def run(args, c_round=c_round, wsub=wsub, fine=fine,
-                    bounce=bounce):
-                cols, t_done, refr = args
-                rng = ((seed, rid, bounce, refr) if need_glue else None)
-                return packet_bounce(scene, cols, c_round, t_done,
-                                     rng=rng, accel=accel, wave_sub=wsub,
-                                     fine_key=fine, interpret=interpret)
-
-            def skip(args):
-                cols, t_done, refr = args
-                n_ = t_done.shape[0]
-                return cols, t_done, jnp.zeros((n_,), bool), refr
-
-            cols, t_done, res_hit, refr = jax.lax.cond(
-                jnp.any(working), run, skip, (cols, t_done, refr))
+            cols = list(cols)
+            cols[10] = jnp.where(capped, _CAP, status_f).reshape(
+                rows, tt.LANE)
+            rng = ((seed, rid, bounce, refr) if need_glue else None)
+            cols, t_done, res_hit, refr = packet_bounce(
+                scene, cols, c_round, t_done, rng=rng, accel=accel,
+                wave_sub=tt.WAVE_SUB, fine_key=fine, grid=grid,
+                interpret=interpret)
             status_o = cols[10].reshape(-1)
-            # a resolved hit that continues costs one bounce
             bounce = bounce + jnp.where(
                 res_hit & (status_o == int(RayStatus.ALIVE)), 1, 0)
-            status_o = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
-                                 status_o)
-            cols[10] = status_o.reshape(rows, tt.LANE)
-        # guaranteed-exact finale: whole-table rescue of the stragglers
-        # (skip-cheap once everything is resolved)
-        for _ in range(cfg.refmax + 3):
+            cols[10] = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
+                                 status_o).reshape(rows, tt.LANE)
+            return cols, t_done, refr, bounce
+
+        def any_working(cols, bounce):
+            return jnp.any((cols[10].reshape(-1) == int(RayStatus.ALIVE))
+                           & (bounce < cfg.refmax))
+
+        # standard rounds: one per remaining bounce, frame-coherent binning
+        for _ in range(cfg.refmax - 1):
+            cols, t_done, refr, bounce = jax.lax.cond(
+                any_working(cols, bounce),
+                lambda a: one_round(*a, fine=False), lambda a: a,
+                (cols, t_done, refr, bounce))
+
+        # marching retry rounds: ONE traced body in a while_loop (stops as
+        # soon as every ray is resolved)
+        def retry_cond(state):
+            i, cols, t_done, refr, bounce = state
+            return (i < EXTRA_ROUNDS) & any_working(cols, bounce)
+
+        def retry_body(state):
+            i, cols, t_done, refr, bounce = state
+            cols, t_done, refr, bounce = one_round(cols, t_done, refr,
+                                                   bounce, fine=True)
+            return i + 1, cols, t_done, refr, bounce
+
+        _, cols, t_done, refr, bounce = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (jnp.zeros((), jnp.int32), cols, t_done, refr, bounce))
+
+        # guaranteed-exact finale: whole-table rescue of the stragglers,
+        # again one traced body
+        def rescue_cond(state):
+            i, cols, bounce, refr = state
+            return (i < cfg.refmax + 3) & any_working(cols, bounce)
+
+        def rescue_body(state):
+            i, cols, bounce, refr = state
             cols, bounce, refr = _rescue_round(scene, cfg, cols, bounce,
-                                               refr, seed, rid, accel=accel)
+                                               refr, seed, rid,
+                                               accel=accel)
+            return i + 1, cols, bounce, refr
+
+        _, cols, bounce, refr = jax.lax.while_loop(
+            rescue_cond, rescue_body,
+            (jnp.zeros((), jnp.int32), cols, bounce, refr))
         unresolved = jnp.sum(
             ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
              & (bounce < cfg.refmax)).astype(jnp.int32))

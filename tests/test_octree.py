@@ -265,3 +265,48 @@ def test_walk_nodes_ancestors_before_children():
     # near corner's level-2 node precedes the far corner's
     l2 = [s for s in stops if s[0] == 2]
     assert l2[0][1] == (0, 0, 0) and l2[-1][1] == (3, 3, 3), l2
+
+
+def test_cell_grid_partitions_prims():
+    """build_cell_grid: every prim id is either listed in >=1 cell CSR (and
+    then its AABB is fully inside the extent) or in the per-type global
+    list; bounds are conservative (listed prims lie within bound of the
+    cell center)."""
+    import numpy as np
+
+    from raytracer_js_tpu import ResponseType, SceneBuilder
+    from raytracer_js_tpu.accel.candidates import (bounding_spheres_np,
+                                                   build_cell_grid)
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.3, 0.4, 0.6)))
+    m = b.add_material(ResponseType.REFLECTION)
+    tex = b.add_solid_texture((0.8, 0.5, 0.2))
+    rng = np.random.default_rng(1)
+    for c in rng.uniform([2, -4, -1], [10, 4, 3], (300, 3)):
+        b.add_sphere(c, float(rng.uniform(0.05, 0.3)), m, tex)
+    b.add_box((0, 0, -21), 40.0, m, tex)          # out-of-extent straddler
+    b.add_sphere((6, 0, 30.0), 2.0, m, tex)       # out-of-extent light-ish
+    scene = b.build()
+    grid = build_cell_grid(scene, g=8)
+    centers, radii = bounding_spheres_np(scene)
+    listed = set()
+    for ids in (grid.ids_s, grid.ids_b, grid.ids_t):
+        listed |= set(np.asarray(ids).tolist())
+    globs = set()
+    for gl in (grid.glob_s, grid.glob_b, grid.glob_t):
+        globs |= set(np.asarray(gl).tolist())
+    assert listed | globs >= set(range(scene.n_prims))
+    assert listed.isdisjoint(globs)
+    # the big box and the far sphere are globals
+    assert scene.n_spheres in globs               # the box id
+    # conservative bound: every listed prim's surface within cell bound
+    cc = np.asarray(grid.centers)
+    bound = np.asarray(grid.bound)
+    off = np.asarray(grid.off_s)
+    ids = np.asarray(grid.ids_s)
+    for cell in range(0, cc.shape[0], 37):        # sample cells
+        for k in range(off[cell], off[cell + 1]):
+            pid = ids[k]
+            d = np.linalg.norm(centers[pid] - cc[cell]) + radii[pid]
+            assert d <= bound[cell] + 1e-5, (cell, pid, d, bound[cell])

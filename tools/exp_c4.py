@@ -35,7 +35,7 @@ def main():
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
     cfg = RenderConfig(refmax=2, backend=HitBackend.TILED)
     t0 = time.perf_counter()
-    tab, cnts, c_max = rtl.frame_tables(scene, cam)
+    tab, cnts, c_max, grid = rtl.frame_tables(scene, cam)
     print(f"host tables: {time.perf_counter()-t0:.1f}s c_max={c_max}")
 
     # A: bounce-0 frame kernel only

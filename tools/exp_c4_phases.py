@@ -36,7 +36,7 @@ def main():
     scene = build_config4_scene(args.prims)
     cam = rt.make_camera((0.0, 0.0, 0.5), 1920, 1088, np.pi / 2,
                          np.pi / 2 * 1088 / 1920)
-    tab, cnts, c_max = rtl.frame_tables(scene, cam)
+    tab, cnts, c_max, grid = rtl.frame_tables(scene, cam)
     print(f"c_max {c_max}", flush=True)
 
     def timeit(name, fn, *a):

@@ -43,7 +43,7 @@ def main():
     scene = build_config4_scene(args.prims)
     cam = rt.make_camera((0.0, 0.0, 0.5), 1920, 1088, np.pi / 2,
                          np.pi / 2 * 1088 / 1920)
-    tab0, cnts0, c_max0 = rtl.frame_tables(scene, cam)
+    tab0, cnts0, c_max0, grid0 = rtl.frame_tables(scene, cam)
     st = jax.jit(lambda s: tt.frame_bounce0(
         scene, cam, tab0, cnts0, c_max0))(scene)
 
