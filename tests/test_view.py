@@ -158,3 +158,44 @@ def test_progressive_render_converges_against_single_frame():
     single = np.clip(np.asarray(render_hdr(scene, cam, config1_cfg())), 0, 1)
     # after 3 identical frames the buffer holds 3/4 of the frame
     np.testing.assert_allclose(np.asarray(out), single * 0.75, atol=1e-6)
+
+
+def test_live_session_logic():
+    """PlayerInterface analogue (raytracer_js_tpu.live): keys move/rotate
+    the camera, any motion resets the exposure accumulation
+    (main.ts:285/:325), 't' cycles the tone mapper, 'q' quits; the ANSI
+    half-block canvas encodes two pixels per cell."""
+    import jax
+
+    from raytracer_js_tpu import RenderConfig
+    from raytracer_js_tpu.live import (LiveState, ansi_frame, apply_key,
+                                       tick)
+    from raytracer_js_tpu.render import render_hdr
+    from scenes import config1_cfg, config1_scene
+
+    cam = make_camera((0, 0, 0.5), 8, 8, np.pi / 2, np.pi / 2)
+    st = LiveState(camera=cam, buf=ex.new_exposure_buffer(8, 8))
+    scene = config1_scene()
+    cfg = config1_cfg()
+    fn = jax.jit(lambda s, c, k: render_hdr(s, c, cfg, key=k))
+    st = tick(st, scene, cfg, fn, jax.random.key(0))
+    assert int(st.buf.frame_count) == 1
+    st2 = apply_key(st, "w")
+    assert st2.moved and int(st2.buf.frame_count) == 0     # exposure reset
+    np.testing.assert_allclose(np.asarray(st2.camera.pos[0]),
+                               np.asarray(st.camera.pos[0]) + 0.1,
+                               atol=1e-6)
+    st3 = apply_key(st2, "LEFT")
+    assert not np.allclose(np.asarray(st3.camera.front),
+                           np.asarray(st2.camera.front))
+    st3 = apply_key(st3, "r")                              # reset angles
+    np.testing.assert_allclose(np.asarray(st3.camera.front), [1, 0, 0],
+                               atol=1e-6)
+    st4 = apply_key(st3, "t")
+    assert st4.mapper == 1 and not st4.moved
+    assert apply_key(st4, "q").quit
+    # ANSI canvas: 8x8 px -> 4 rows of 8 half-block cells
+    img = np.zeros((8, 8, 3), np.float32)
+    img[0, 0] = 1.0
+    s = ansi_frame(img)
+    assert s.count("▀") == 32 and "38;2;255;255;255" in s
