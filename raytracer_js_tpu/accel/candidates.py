@@ -688,9 +688,16 @@ def build_cell_grid(scene: Scene, g: int = 16,
         idss.append(pi.astype(np.int32) if pi.size
                     else np.zeros((1,), np.int32))
         if pi.size:
+            # exact enclosing radius of listed prim surfaces per cell:
+            # max over listed prims of |prim_center - cell_center| + r.
+            # (The generic halfdiag + (sqrt(3)+1)*r_max bound is ~20% fatter
+            # and directly shrinks every packet's resolution radius.)
+            cell_c = lo + (np.stack([cl // (g * g), (cl // g) % g, cl % g],
+                                    axis=1) + 0.5) * h
+            reach = np.linalg.norm(centers[pi] - cell_c, axis=1) + radii[pi]
             rmax = np.zeros(G)
-            np.maximum.at(rmax, cl, radii[pi])
-            bound = np.maximum(bound, halfdiag + (np.sqrt(3.0) + 1.0) * rmax)
+            np.maximum.at(rmax, cl, reach)
+            bound = np.maximum(bound, rmax)
 
     gi = np.arange(g)
     ccenters = lo + (np.stack(np.meshgrid(gi, gi, gi, indexing="ij"),

@@ -62,9 +62,30 @@ def _update(best, t_mat, k0, gid_base):
     return t_best, pid_best
 
 
-def _nearest_hit_kernel(org_ref, dir_ref, sph_ref, box_ref, tri_ref,
-                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays):
+def _nearest_hit_kernel(nl_ref, org_ref, dir_ref, sph_ref, box_ref,
+                        tri_ref, t_ref, pid_ref, *, n_sph, n_box, n_tri,
+                        n_rays):
     i = pl.program_id(0)
+    r0 = t_ref.shape[0]
+
+    # LIVE-PREFIX BLOCK SKIP: callers that compact live rays to the front
+    # pass n_live; whole blocks past the live prefix cost one predicate
+    # (the rescue path's cost then scales with the straggler count, not
+    # with its static capacity)
+    @pl.when(i * r0 >= nl_ref[0, 0])
+    def _dead_block():
+        t_ref[:, :] = jnp.full(t_ref.shape, _INF, jnp.float32)
+        pid_ref[:, :] = jnp.full(pid_ref.shape, -1, jnp.int32)
+
+    @pl.when(i * r0 < nl_ref[0, 0])
+    def _live_block():
+        _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
+                           t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
+                           n_tri=n_tri, n_rays=n_rays)
+
+
+def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
+                       t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -190,7 +211,7 @@ def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
+def _nearest_hit_call(nl, org, dir, sph, box, tri, meta, interpret=False):
     n_sph, n_box, n_tri, n_rays = meta
     n_pad = org.shape[0]
     grid = (n_pad // BLOCK_R,)
@@ -200,6 +221,8 @@ def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(nl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
@@ -222,7 +245,7 @@ def _nearest_hit_call(org, dir, sph, box, tri, meta, interpret=False):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(org, dir, sph, box, tri)
+    )(nl, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
 
 
@@ -447,11 +470,15 @@ def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
 
 
 def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
-                       interpret: bool | None = None) -> Tuple[Array, Array]:
+                       interpret: bool | None = None,
+                       n_live: Array | None = None) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
 
     ``interpret`` defaults to True off-TPU so the same code path is testable
-    on the CPU mesh (pallas interpret mode).
+    on the CPU mesh (pallas interpret mode). ``n_live`` (traced scalar)
+    declares that only the first n_live rays matter — whole ray blocks past
+    it are skipped in-kernel (callers compact live rays to the front; rows
+    past n_live report miss).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -481,6 +508,8 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                      scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
                      rows=9, pad_to=pad_k(scene.n_tris))
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
-    t, pid = _nearest_hit_call(org, dir, sph, box, tri, meta,
+    nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
+          else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
+    t, pid = _nearest_hit_call(nl, org, dir, sph, box, tri, meta,
                                interpret=interpret)
     return t[:n], pid[:n]

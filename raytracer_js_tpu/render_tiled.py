@@ -260,10 +260,13 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     diag = jnp.linalg.norm(s_hi - s_lo) + 1e-6
     qt = jnp.clip((t_done / (diag / 16.0)).astype(jnp.int32), 0, 63)
     if fine_key:
-        # (stuck-horizon, direction bin, fine Morton): direction coherence
-        # keeps the packet cone alive for marching rays (see _morton_key)
-        key = (((qt << 6) + _dir_bin(dirs)) << 18) + _morton_key(scene, org,
-                                                                bits=6)
+        # (stuck-horizon, fine Morton, direction bin): MORTON-MAJOR —
+        # sparse stragglers binned direction-first scatter over 64 bins
+        # and every packet sprawls (measured: 60% of retry rays got
+        # t_safe - d_c <= 0); spatial compactness is what keeps d_c below
+        # the resolution radius, direction only sub-orders within a cell
+        key = ((((qt << 18) + _morton_key(scene, org, bits=6)) << 6)
+               + _dir_bin(dirs))
     else:
         key = ((qt * 4096 + _pos_cell(scene, org)) * 64
                + _dir_bin(dirs)).astype(jnp.int32)
@@ -433,13 +436,22 @@ EXTRA_ROUNDS = int(__import__("os").environ.get("RT_TILED_ROUNDS", "10"))
 #: resolved horizon by a constant-volume shell per round.
 ESC_MAX = int(__import__("os").environ.get("RT_TILED_ESC_MAX",
                                            str(1 << 14)))
-#: ray capacity of one whole-table rescue round (see _rescue_round)
+#: scenes at or below this primitive count use SWEEP MODE for bounces
+#: >= 1: whole-table rescue rounds instead of packet candidate rounds
+#: (see render_frame_tiled) — the selection/pack overhead only pays for
+#: itself once the primitive table is too large to stream per ray
+SWEEP_MAX_PRIMS = int(__import__("os").environ.get("RT_TILED_SWEEP_MAX",
+                                                   "262144"))
+#: ray capacity of one whole-table rescue round (see _rescue_round).
+#: Sized so refmax+3 rounds cover the straggler population the marching
+#: retries leave at config-4 scale (measured r3: each rescue resolves
+#: exactly its cap; 5 x 32k left 89k of ~250k stragglers unresolved)
 RESCUE_CAP = int(__import__("os").environ.get("RT_TILED_RESCUE_CAP",
-                                              "32768"))
+                                              "65536"))
 
 
 def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
-                  seed, rid, accel=None):
+                  seed, rid, accel=None, cap: Optional[int] = None):
     """Guaranteed-exact straggler round: compact the still-working rays to
     the front, run the PALLAS whole-table nearest-hit on the first
     RESCUE_CAP of them, and shade/respawn through the XLA replay bounce
@@ -458,13 +470,12 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
     ``cols`` are the 11 state columns as [rows, LANE]; ``bounce``/``refr``
     are flat [n]; returns the updated (cols, bounce, refr).
     """
-    import dataclasses as _dc
-
-    from .ops.trace import RayState, _bounce, nearest_hit
+    from .kernels.nearest_hit import nearest_hit_pallas
+    from .ops.trace import RayState, _bounce
 
     rows = cols[0].shape[0]
     n = rows * tt.LANE
-    cap = min(RESCUE_CAP, n)
+    cap = min(cap or RESCUE_CAP, n)
     flat = [c.reshape(-1) for c in cols]
     working = ((flat[10] == int(RayStatus.ALIVE))
                & (bounce < cfg.refmax))
@@ -482,9 +493,12 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
         org = jnp.stack(sl[0:3], -1)
         dirs = jnp.stack(sl[3:6], -1)
         # whole-table search on the compacted slice (discrete; replayed
-        # differentiably by the fit loop exactly like every other backend)
-        pcfg = _dc.replace(cfg, backend=HitBackend.PALLAS)
-        _t, pid = nearest_hit(scene, pcfg, org, dirs)
+        # differentiably by the fit loop exactly like every other backend).
+        # n_live: working rays are the sorted prefix, so the kernel skips
+        # every block past them — rescue cost ~ straggler count, not cap
+        n_work = jnp.sum(working.astype(jnp.int32))
+        _t, pid = nearest_hit_pallas(scene, org, dirs,
+                                     n_live=jnp.minimum(n_work, cap))
         work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
             bounce_s[:cap] < cfg.refmax)
         pid = jnp.where(work_sl, pid, -1)
@@ -620,6 +634,47 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         # their proven-empty horizon each round (packet_bounce), so flat
         # budgets suffice — termination is guaranteed by the whole-table
         # rescue rounds below, not by escalating budgets.
+        def any_working(cols, bounce):
+            return jnp.any((cols[10].reshape(-1) == int(RayStatus.ALIVE))
+                           & (bounce < cfg.refmax))
+
+        if scene.n_prims <= SWEEP_MAX_PRIMS:
+            # SWEEP MODE: at this scale streaming the WHOLE primitive
+            # table past the compacted live rays (kernels/nearest_hit,
+            # ~0.01 cyc/ray/prim with live-prefix block skip) is cheaper
+            # per ray than building candidate tables at all (measured r3:
+            # the packet selection+pack costs ~0.6 us/ray/round vs
+            # ~0.12 us/ray for the full 100k-prim stream). One rescue
+            # round per remaining bounce resolves every working ray
+            # exactly — no retries, no marching, unresolved 0 by
+            # construction.
+            def sw_cond(state):
+                i, cols, bounce, refr = state
+                return ((i < cfg.refmax + 1)
+                        & any_working(cols, bounce))
+
+            def sw_body(state):
+                i, cols, bounce, refr = state
+                cols, bounce, refr = _rescue_round(
+                    scene, cfg, cols, bounce, refr, seed, rid,
+                    accel=accel, cap=n)
+                return i + 1, cols, bounce, refr
+
+            _, cols, bounce, refr = jax.lax.while_loop(
+                sw_cond, sw_body,
+                (jnp.zeros((), jnp.int32), cols, bounce, refr))
+            unresolved = jnp.sum(
+                ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
+                 & (bounce < cfg.refmax)).astype(jnp.int32))
+            st = {k: c.reshape(h_pad, w_pad) for k, c in zip(names, cols)}
+            cr, cg, cb, _ = _epilogue(st["cr"], st["cg"], st["cb"],
+                                      st["path"], st["status"],
+                                      float(cfg.distance_attenuation_factor))
+            img = jnp.stack([cr, cg, cb], axis=-1)[:cam.h, :cam.w]
+            if with_diag:
+                return img, {"unresolved": unresolved}
+            return img
+
         c_round = min(packet_c_max, ESC_MAX)
 
         def one_round(cols, t_done, refr, bounce, fine):
@@ -644,10 +699,6 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             cols[10] = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
                                  status_o).reshape(rows, tt.LANE)
             return cols, t_done, refr, bounce
-
-        def any_working(cols, bounce):
-            return jnp.any((cols[10].reshape(-1) == int(RayStatus.ALIVE))
-                           & (bounce < cfg.refmax))
 
         # standard rounds: one per remaining bounce, frame-coherent binning
         for _ in range(cfg.refmax - 1):

@@ -75,8 +75,16 @@ def test_frame_candidates_cover_brute_winners():
             assert winners <= tile_pids, (by, bx, winners - tile_pids)
 
 
-@pytest.mark.parametrize("refmax", [1, 3])
-def test_render_tiled_matches_brute(refmax):
+@pytest.mark.parametrize("refmax,mode", [(1, "sweep"), (3, "sweep"),
+                                         (3, "packet")])
+def test_render_tiled_matches_brute(refmax, mode, monkeypatch):
+    """Both bounce>=1 regimes: SWEEP (whole-table rescue rounds — the
+    <=262k-prim default) and PACKET (candidate rounds + marching retries +
+    rescue — the big-scene path, forced by zeroing the sweep threshold)."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    if mode == "packet":
+        monkeypatch.setattr(rtl, "SWEEP_MAX_PRIMS", 0)
     scene = _mixed_scene(120)
     w, h = 2 * tt.LANE, 2 * tt.TILE_SUB
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
@@ -151,11 +159,14 @@ def test_render_tiled_partial_tiles():
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
 
 
-def test_render_tiled_truncated_packets_resolve_via_rounds():
-    """Tiny packet_c_max forces heavy candidate truncation: the resolution
-    bound keeps every advanced ray exact, retry rounds make progress via
-    the per-ray cleared horizon, and the full-list rescue rounds finish
+def test_render_tiled_truncated_packets_resolve_via_rounds(monkeypatch):
+    """Tiny packet_c_max forces heavy candidate truncation in PACKET mode:
+    the resolution bound keeps every advanced ray exact, marching retry
+    rounds make progress, and the whole-table rescue rounds finish
     whatever the truncated rounds could not (diag reports 0 left)."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "SWEEP_MAX_PRIMS", 0)
     scene = _mixed_scene(120)
     w, h = 2 * tt.LANE, 2 * tt.TILE_SUB
     cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
@@ -220,11 +231,14 @@ def test_render_tiled_rough_matches_brute():
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
 
 
-def test_render_tiled_rough_transmission_combined_with_accel():
-    """Both extensions together, substance query through the octree grid
-    (the at-scale configuration)."""
+def test_render_tiled_rough_transmission_combined_with_accel(monkeypatch):
+    """Both extensions together, substance query through the octree grid,
+    forced onto the PACKET path (glue coverage at the big-scene shape)."""
     from raytracer_js_tpu.accel.octree import build_octree
     from raytracer_js_tpu.config import OctreeConfig
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "SWEEP_MAX_PRIMS", 0)
 
     key = jax.random.key(9)
     scene = _ext_scene(trans=True, rough=0.4)

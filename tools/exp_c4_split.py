@@ -146,11 +146,53 @@ def main():
 
     timeit("approx_topk", jax.jit(topk_sel), inc, tlo)
 
-    # wave kernel on prebuilt tables
+    # grid (sort-free) selection: whole + pieces
+    grid = grid0
+    pcg = jax.jit(lambda o, d, a: cand.packet_candidates_grid(
+        scene, grid, o, d, a, packet))
+    tabg, cntsg, _ts = timeit("grid_packet_candidates", pcg, seg_org,
+                              seg_dir, seg_alive)
+    print(f"grid rows mean {float(np.asarray(cntsg)[:, :3].sum(1).mean()):.0f}"
+          f" c_max {grid.c_max}", flush=True)
+
+    def grid_sel_only(o, d, a):
+        o0, ro, axis, cos_t = cand.packet_cones(o, d, a, packet)
+        G = grid.centers.shape[0]
+        v = grid.centers[None] - o0[:, None]
+        cdist = jnp.linalg.norm(v, axis=-1)
+        q = jnp.clip(((o0 - grid.lo[None]) * grid.inv_h[None]
+                      ).astype(jnp.int32), 0, grid.g - 1)
+        c0 = (q[:, 0] * grid.g + q[:, 1]) * grid.g + q[:, 2]
+        order = grid.order[c0]
+        keep_o = jnp.take_along_axis(cdist < 1e30, order, axis=1)
+        b = o0.shape[0]
+        cnt_o = jnp.take_along_axis(
+            jnp.broadcast_to(grid.cnt_s[None], (b, G)), order, axis=1)
+        cum = jnp.cumsum(jnp.where(keep_o, cnt_o, 0.0), axis=1)
+        return cum
+
+    cum = timeit("grid_cum_phase", jax.jit(grid_sel_only), seg_org,
+                 seg_dir, seg_alive)
+
+    def ss_only(cum):
+        budget = grid.budget[0]
+        b = cum.shape[0]
+        jq = jnp.arange(budget, dtype=jnp.float32)[None]
+        return jax.vmap(
+            lambda c, q_: jnp.searchsorted(c, q_, side="right"))(
+                cum, jnp.broadcast_to(jq, (b, budget)))
+
+    timeit("grid_searchsorted", jax.jit(ss_only), cum)
+
+    # wave kernel on prebuilt tables (rowwise + grid-laid)
     cols2 = [jnp.asarray(c.reshape(-1, tt.LANE)) for c in seg_cols]
     wb = jax.jit(lambda cols, tb, ct: tt.wave_bounce(
         scene, cols, tb, ct, c_max))
     timeit("wave_kernel", wb, cols2, tab, cnts)
+    wbg = jax.jit(lambda cols, tb, ct: tt.wave_bounce(
+        scene, cols, tb, ct, grid.c_max,
+        static_bases=(grid.base[1], grid.base[2])))
+    timeit("wave_kernel_grid", wbg, cols2, tabg, cntsg)
 
     mean_c = float(np.asarray(cnts)[:, :3].sum(1).mean())
     print(f"cand mean/packet: {mean_c:.0f}  c_max {c_max}", flush=True)
