@@ -442,6 +442,11 @@ ESC_MAX = int(__import__("os").environ.get("RT_TILED_ESC_MAX",
 #: itself once the primitive table is too large to stream per ray
 SWEEP_MAX_PRIMS = int(__import__("os").environ.get("RT_TILED_SWEEP_MAX",
                                                    "262144"))
+#: sweep-mode slice width: the compacted live prefix one sweep round
+#: processes (the XLA shade/respawn costs scale with this; overflow live
+#: rays take another while-loop round)
+SWEEP_SLICE = int(__import__("os").environ.get("RT_TILED_SWEEP_SLICE",
+                                               str(655360)))
 #: ray capacity of one whole-table rescue round (see _rescue_round).
 #: Sized so refmax+3 rounds cover the straggler population the marching
 #: retries leave at config-4 scale (measured r3: each rescue resolves
@@ -650,14 +655,20 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             # construction.
             def sw_cond(state):
                 i, cols, bounce, refr = state
-                return ((i < cfg.refmax + 1)
+                return ((i < cfg.refmax + 3)
                         & any_working(cols, bounce))
+
+            # slice cap: the PALLAS kernel already scales with the live
+            # count (n_live block skip), but the XLA shade/respawn runs
+            # over the whole compacted slice — cap it near the expected
+            # live fraction; overflow just takes another while iteration
+            sw_cap = min(n, SWEEP_SLICE)
 
             def sw_body(state):
                 i, cols, bounce, refr = state
                 cols, bounce, refr = _rescue_round(
                     scene, cfg, cols, bounce, refr, seed, rid,
-                    accel=accel, cap=n)
+                    accel=accel, cap=sw_cap)
                 return i + 1, cols, bounce, refr
 
             _, cols, bounce, refr = jax.lax.while_loop(
