@@ -303,39 +303,53 @@ def run_config5(args):
     key = jax.random.key(0)
     params, rebuild = float_partition(scene)
     n_pix = w * h
+    # each view is processed in --c5-slices ray slices: one 2M-ray x 1M-prim
+    # DDA record crashes the TPU worker (r3: reproducible between 262k and
+    # 522k rays); production would tile identically, and rid offsets keep
+    # the RNG streams global either way
+    n_slc = max(1, args.c5_slices)
+    assert n_pix % n_slc == 0, (n_pix, n_slc)
+    ns = n_pix // n_slc
 
-    def record_view(params, org, dirs, rid):
+    def record_slice(params, org, dirs, rid):
         sc = rebuild(params)
-        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n_pix,))
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))
         return record_paths(sc, cfg, org, dirs, key, rid,
                             start_refr=refr0, accel=accel)
 
-    rec_jit = jax.jit(record_view)
+    rec_jit = jax.jit(record_slice)
+
+    def slices():
+        for v, (o, d) in enumerate(rays_dirs):
+            for s in range(n_slc):
+                sl = slice(s * ns, (s + 1) * ns)
+                rid = (jnp.arange(s * ns, (s + 1) * ns, dtype=jnp.int32)
+                       + v * n_pix)
+                yield v, o[sl], d[sl], rid
 
     def record_all(params):
-        return [rec_jit(params, o, d,
-                        jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix)
-                for v, (o, d) in enumerate(rays_dirs)]
+        return [rec_jit(params, o, d, rid) for _, o, d, rid in slices()]
 
-    dt_rec, _ = _time_sustained(record_all, params, burst=2, repeats=2)
+    t0 = time.perf_counter()
     recs = record_all(params)
+    _materialize(recs[-1])
+    dt_rec = time.perf_counter() - t0          # one full 8-view recording
 
-    def view_loss(params, org, dirs, rid, rec):
+    def slice_loss(params, org, dirs, rid, rec):
         sc = rebuild(params)
-        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n_pix,))
+        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))
         st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
                         pid_seq=rec)
         return jnp.sum(st.color ** 2) / (views * n_pix)
 
-    vg_jit = jax.jit(jax.value_and_grad(view_loss))
+    vg_jit = jax.jit(jax.value_and_grad(slice_loss))
     add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
 
     def replay_step(params):
         loss = jnp.zeros((), jnp.float32)
         grads = None
-        for v, (o, d) in enumerate(rays_dirs):
-            rid = jnp.arange(n_pix, dtype=jnp.int32) + v * n_pix
-            l, g = vg_jit(params, o, d, rid, recs[v])
+        for i, (_, o, d, rid) in enumerate(slices()):
+            l, g = vg_jit(params, o, d, rid, recs[i])
             loss = loss + l
             grads = g if grads is None else add(grads, g)
         return loss, grads
@@ -352,6 +366,7 @@ def run_config5(args):
         "vs_baseline": None,
         "detail": {"config": 5, "views": views, "w": w, "h": h,
                    "n_prims": scene.n_prims, "mode": "record+replay",
+                   "slices_per_view": n_slc,
                    "replay_step_s": dt, "times_s": times,
                    "record_s": dt_rec, "replay_every": every,
                    "amortized_rays_per_s": amort,
@@ -385,6 +400,8 @@ def main():
                     metavar=("W", "H"))
     ap.add_argument("--c5-replay-every", type=int, default=8,
                     help="recording amortization horizon for config 5")
+    ap.add_argument("--c5-slices", type=int, default=8,
+                    help="ray slices per view for config 5 (memory bound)")
     args = ap.parse_args()
 
     if args.config:
