@@ -84,8 +84,27 @@ def _nearest_hit_kernel(nl_ref, org_ref, dir_ref, sph_ref, box_ref,
                            n_tri=n_tri, n_rays=n_rays)
 
 
+def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
+                               box_ref, tri_ref, t_ref, pid_ref, *, n_sph,
+                               n_box, n_tri, n_rays):
+    i = pl.program_id(0)
+    r0 = t_ref.shape[0]
+
+    @pl.when(i * r0 >= nl_ref[0, 0])
+    def _dead_block():
+        t_ref[:, :] = jnp.full(t_ref.shape, _INF, jnp.float32)
+        pid_ref[:, :] = jnp.full(pid_ref.shape, -1, jnp.int32)
+
+    @pl.when(i * r0 < nl_ref[0, 0])
+    def _live_block():
+        _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
+                           t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
+                           n_tri=n_tri, n_rays=n_rays, tb_ref=tb_ref)
+
+
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
-                       t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays):
+                       t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
+                       tb_ref=None):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -119,7 +138,31 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
     o_dot_o = ox * ox + oy * oy + oz * oz                    # [R, 1]
     o_dot_d = ox * dx + oy * dy + oz * dz
 
-    def sphere_tile(k, best):
+    if tb_ref is not None:
+        # block bounding cone (callers pre-sort rays into coherent blocks
+        # and pass Morton-tight per-tile bounds): apex ball (o0, ro) over
+        # the block origins, axis = mean direction, cos_t = worst
+        # alignment — the same conservative identity as
+        # accel/candidates.cone_include_np, evaluated per 128-prim tile
+        # as a scalar predicate that skips the whole tile
+        r_inv = 1.0 / r_blk
+        o0x = jnp.sum(ox) * r_inv
+        o0y = jnp.sum(oy) * r_inv
+        o0z = jnp.sum(oz) * r_inv
+        ro = jnp.sqrt(jnp.max((ox - o0x) ** 2 + (oy - o0y) ** 2
+                              + (oz - o0z) ** 2))
+        axm = jnp.sum(dx) * r_inv
+        aym = jnp.sum(dy) * r_inv
+        azm = jnp.sum(dz) * r_inv
+        a_n = 1.0 / jnp.sqrt(jnp.maximum(
+            axm * axm + aym * aym + azm * azm, 1e-20))
+        axm, aym, azm = axm * a_n, aym * a_n, azm * a_n
+        d_inv = 1.0 / jnp.sqrt(a)
+        cos_t = jnp.min((dx * axm + dy * aym + dz * azm) * d_inv)
+        use_cone = cos_t >= 0.25
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+    def sphere_tile_body(k, best):
         k0 = k * BLOCK_K
         sl = pl.ds(k0, BLOCK_K)
         cT = sph_ref[0:3, sl]                                # [3, K]
@@ -134,6 +177,26 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         t_near = (-b_half - sq) * inv_a
         t_far = (-b_half + sq) * inv_a
         return _update(best, _first_forward(t_near, t_far, valid), k0, 0)
+
+    if tb_ref is None:
+        sphere_tile = sphere_tile_body
+    else:
+        def sphere_tile(k, best):
+            vx = tb_ref[k, 0] - o0x
+            vy = tb_ref[k, 1] - o0y
+            vz = tb_ref[k, 2] - o0z
+            dist = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+            rr = tb_ref[k, 3] + ro
+            inside = dist <= rr * (1.0 + 1e-5) + 1e-7
+            sin_a = jnp.minimum(rr / jnp.maximum(dist, 1e-20), 1.0)
+            cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a * sin_a, 0.0))
+            cos_b = (vx * axm + vy * aym + vz * azm) / jnp.maximum(
+                dist, 1e-20)
+            include = (inside
+                       | (cos_b >= cos_a * cos_t - sin_a * sin_t - 1e-5)
+                       | ~use_cone)
+            return jax.lax.cond(include, lambda b: sphere_tile_body(k, b),
+                                lambda b: b, best)
 
     best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K), sphere_tile, best)
 
@@ -246,6 +309,48 @@ def _nearest_hit_call(nl, org, dir, sph, box, tri, meta, interpret=False):
         ],
         interpret=interpret,
     )(nl, org, dir, sph, box, tri)
+    return t[:, 0], pid[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _nearest_hit_call_culled(nl, tb, org, dir, sph, box, tri, meta,
+                             interpret=False):
+    n_sph, n_box, n_tri, n_rays = meta
+    n_pad = org.shape[0]
+    grid = (n_pad // BLOCK_R,)
+    kern = functools.partial(_nearest_hit_kernel_culled, n_sph=n_sph,
+                             n_box=n_box, n_tri=n_tri, n_rays=n_rays)
+    t, pid = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(nl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tb.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(box.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nl, tb, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
 
 
@@ -471,7 +576,9 @@ def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
 
 def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                        interpret: bool | None = None,
-                       n_live: Array | None = None) -> Tuple[Array, Array]:
+                       n_live: Array | None = None,
+                       tile_bounds: Array | None = None
+                       ) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
 
     ``interpret`` defaults to True off-TPU so the same code path is testable
@@ -510,6 +617,14 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
     nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
           else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
-    t, pid = _nearest_hit_call(nl, org, dir, sph, box, tri, meta,
-                               interpret=interpret)
+    if tile_bounds is not None:
+        # per-sphere-tile bounds [T, 4] (cx, cy, cz, r) enable the block
+        # cone cull; caller must pass spheres in Morton-tight tile order
+        assert tile_bounds.shape[0] * BLOCK_K >= scene.n_spheres
+        t, pid = _nearest_hit_call_culled(nl, tile_bounds, org, dir, sph,
+                                          box, tri, meta,
+                                          interpret=interpret)
+    else:
+        t, pid = _nearest_hit_call(nl, org, dir, sph, box, tri, meta,
+                                   interpret=interpret)
     return t[:n], pid[:n]

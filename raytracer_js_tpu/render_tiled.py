@@ -221,6 +221,44 @@ def _respawn_glue(scene: Scene, accel, seed, rid, bounce, refr,
 #: them without losing their ALIVE-ness (mapped back after each round)
 _CAP = 7
 
+#: enable the sweep kernel's block-cone tile cull (Morton-permuted prims)
+SWEEP_CULL = __import__("os").environ.get("RT_SWEEP_CULL", "1") != "0"
+
+
+def _sweep_perm(scene: Scene):
+    """Morton-permuted sphere table + per-128-tile bounds for the sweep
+    kernel's block-cone cull -> (scene_view, perm [n_sph] i32, tb [T, 4]).
+
+    The whole-table kernel streams prim tiles past coherent ray blocks;
+    with spheres in Morton order each 128-prim tile is spatially tight, so
+    a per-tile bounding sphere vs the block's cone culls most tiles with
+    one scalar predicate (kernels/nearest_hit sphere_tile). Only the
+    sphere GEOMETRY is permuted — winners map back to global ids before
+    shading, so id-indexed tables stay untouched. Returns None when the
+    scene is too small to benefit.
+    """
+    from .kernels.nearest_hit import BLOCK_K
+
+    n_s = scene.n_spheres
+    if n_s < 4 * BLOCK_K:
+        return None
+    code = _morton_key(scene, scene.sphere_center, bits=8)
+    perm = jnp.argsort(code).astype(jnp.int32)
+    c_p = scene.sphere_center[perm]
+    r_p = scene.sphere_radius[perm]
+    scene_p = scene.replace(sphere_center=c_p, sphere_radius=r_p)
+    T = -(-n_s // BLOCK_K)
+    pad = T * BLOCK_K - n_s
+    cp = jnp.concatenate([c_p, jnp.broadcast_to(c_p[-1:], (pad, 3))]
+                         ) if pad else c_p
+    rp = jnp.concatenate([r_p, jnp.zeros((pad,), r_p.dtype)]) if pad else r_p
+    cpt = cp.reshape(T, BLOCK_K, 3)
+    rpt = rp.reshape(T, BLOCK_K)
+    tc = 0.5 * (cpt.min(axis=1) + cpt.max(axis=1))
+    tr = jnp.max(jnp.linalg.norm(cpt - tc[:, None], axis=-1) + rpt, axis=1)
+    tb = jnp.concatenate([tc, tr[:, None]], axis=1)
+    return scene_p, perm, tb
+
 
 def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
                   rng=None, accel=None, wave_sub: Optional[int] = None,
@@ -456,7 +494,8 @@ RESCUE_CAP = int(__import__("os").environ.get("RT_TILED_RESCUE_CAP",
 
 
 def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
-                  seed, rid, accel=None, cap: Optional[int] = None):
+                  seed, rid, accel=None, cap: Optional[int] = None,
+                  sweep_tab=None):
     """Guaranteed-exact straggler round: compact the still-working rays to
     the front, run the PALLAS whole-table nearest-hit on the first
     RESCUE_CAP of them, and shade/respawn through the XLA replay bounce
@@ -502,8 +541,16 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
         # n_live: working rays are the sorted prefix, so the kernel skips
         # every block past them — rescue cost ~ straggler count, not cap
         n_work = jnp.sum(working.astype(jnp.int32))
-        _t, pid = nearest_hit_pallas(scene, org, dirs,
-                                     n_live=jnp.minimum(n_work, cap))
+        nl = jnp.minimum(n_work, cap)
+        if sweep_tab is not None:
+            scene_s, perm_s, tb = sweep_tab
+            _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
+                                         tile_bounds=tb)
+            pid = jnp.where(
+                (pid >= 0) & (pid < scene.n_spheres),
+                perm_s[jnp.clip(pid, 0, max(scene.n_spheres - 1, 0))], pid)
+        else:
+            _t, pid = nearest_hit_pallas(scene, org, dirs, n_live=nl)
         work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
             bounce_s[:cap] < cfg.refmax)
         pid = jnp.where(work_sl, pid, -1)
@@ -663,12 +710,13 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             # over the whole compacted slice — cap it near the expected
             # live fraction; overflow just takes another while iteration
             sw_cap = min(n, SWEEP_SLICE)
+            sweep_tab = _sweep_perm(scene) if SWEEP_CULL else None
 
             def sw_body(state):
                 i, cols, bounce, refr = state
                 cols, bounce, refr = _rescue_round(
                     scene, cfg, cols, bounce, refr, seed, rid,
-                    accel=accel, cap=sw_cap)
+                    accel=accel, cap=sw_cap, sweep_tab=sweep_tab)
                 return i + 1, cols, bounce, refr
 
             _, cols, bounce, refr = jax.lax.while_loop(
