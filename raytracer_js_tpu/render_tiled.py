@@ -526,7 +526,16 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
 
     def run(args):
         flat, bounce, refr = args
-        key = jnp.where(working, 0, 1).astype(jnp.int32)
+        # compact working rays to the front IN (cell, direction) ORDER:
+        # the sweep kernel's block-cone cull only fires when each 512-ray
+        # block is spatially and directionally coherent (a 0/1 key leaves
+        # bounce-1 blocks with randomly reflected directions — cos_t ~ -1,
+        # no culls, pure predicate overhead)
+        org_a = jnp.stack(flat[0:3], -1)
+        dir_a = jnp.stack(flat[3:6], -1)
+        key = (_pos_cell(scene, org_a) * 64 + _dir_bin(dir_a)).astype(
+            jnp.int32)
+        key = jnp.where(working, key, jnp.int32(1 << 30))
         idx = jnp.arange(n, dtype=jnp.int32)
         rid_s = rid if rid is not None else jnp.zeros((n,), jnp.int32)
         _, inv_pos, *ops_s = jax.lax.sort(
