@@ -221,8 +221,13 @@ def _respawn_glue(scene: Scene, accel, seed, rid, bounce, refr,
 #: them without losing their ALIVE-ness (mapped back after each round)
 _CAP = 7
 
-#: enable the sweep kernel's block-cone tile cull (Morton-permuted prims)
-SWEEP_CULL = __import__("os").environ.get("RT_SWEEP_CULL", "1") != "0"
+#: opt-in: the sweep kernel's block-cone tile cull (Morton-permuted
+#: prims + per-tile bounds + a scalar cone predicate per 128-sphere tile).
+#: Measured r3 at config 4 and REJECTED as the default: even with
+#: (cell, direction)-coherent blocks the per-tile lax.cond chain breaks
+#: Mosaic's tile streaming pipeline (0.934 s plain vs 1.151 s culled);
+#: kept behind RT_SWEEP_CULL=1 for scenes with higher cull rates
+SWEEP_CULL = __import__("os").environ.get("RT_SWEEP_CULL", "0") == "1"
 
 
 def _sweep_perm(scene: Scene):

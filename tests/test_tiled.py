@@ -252,10 +252,13 @@ def test_render_tiled_rough_transmission_combined_with_accel(monkeypatch):
     assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
 
 
-def test_render_tiled_sweep_cull_many_spheres():
-    """SWEEP mode with the block-cone tile cull active (>= 512 spheres
-    triggers the Morton permutation + per-tile bounds): winners map back
-    to global ids, parity with BRUTE holds."""
+def test_render_tiled_sweep_cull_many_spheres(monkeypatch):
+    """SWEEP mode with the block-cone tile cull force-enabled (off by
+    default — measured slower at config-4 scale, kept opt-in): winners
+    map back to global ids, parity with BRUTE holds."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "SWEEP_CULL", True)
     b = SceneBuilder()
     b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
     diffuse = b.add_material(ResponseType.REFLECTION)
