@@ -19,6 +19,14 @@ Array = jnp.ndarray
 #: is the MXU pass ~ N*K*C MACs; past ~1k rows jnp.take wins again.
 ONE_HOT_MAX_ROWS = 1024
 
+#: ...except under autodiff, where the one-hot operand is SAVED as a VJP
+#: residual — measured r3: a value_and_grad at 2.09M rays over 1002-row
+#: prim tables compiled to 23.75 GB of HBM (8.4 GB per saved [N, K]
+#: one-hot) and OOM'd the chip. Cap the LOGICAL one-hot size too: at 2M
+#: rays that keeps K <= ~128 (material/texture tables ride the MXU,
+#: thousand-row prim tables fall back to take/scatter).
+ONE_HOT_MAX_ELEMS = 1 << 28
+
 #: integer/bool columns roundtrip through the f32 matmul; f32 represents
 #: integers exactly only below 2^24, so larger stored values would silently
 #: corrupt. Checked statically for concrete tables in _check_int_exact.
@@ -52,10 +60,13 @@ def gather_rows(table: Array, idx: Array) -> Array:
 
     One-hot matmul for small K (MXU), jnp.take otherwise.
     """
+    import math
+
     k = table.shape[0]
     if k == 0:
         raise ValueError("empty table")
-    if k > ONE_HOT_MAX_ROWS or table.ndim > 2:
+    n = math.prod(idx.shape) if idx.shape else 1
+    if k > ONE_HOT_MAX_ROWS or n * k > ONE_HOT_MAX_ELEMS or table.ndim > 2:
         return jnp.take(table, idx, axis=0)
     tab2 = table[:, None] if table.ndim == 1 else table
     oh = jax.nn.one_hot(idx, k, dtype=tab2.dtype)          # [N, K]
@@ -69,10 +80,13 @@ def gather_rows(table: Array, idx: Array) -> Array:
 def gather_cols(idx: Array, *tables: Array) -> tuple:
     """Gather the same [N] idx from several [K]/[K,C] tables, sharing the
     one-hot operand so XLA computes it once."""
+    import math
+
     if not tables:
         return ()
     k = tables[0].shape[0]
-    if k > ONE_HOT_MAX_ROWS:
+    n = math.prod(idx.shape) if idx.shape else 1
+    if k > ONE_HOT_MAX_ROWS or n * k > ONE_HOT_MAX_ELEMS:
         return tuple(jnp.take(t, idx, axis=0) for t in tables)
     # concatenate as columns -> single matmul -> split
     cols = []
