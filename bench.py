@@ -474,7 +474,12 @@ def bench_backward(scene, cam, args, w, h):
     from raytracer_js_tpu.parallel.sharding import float_partition
     from raytracer_js_tpu.render import render_rays, start_substance
 
+    import dataclasses
+
     cfg = RenderConfig(refmax=2, backend=HitBackend.PALLAS)
+    if args.spheres > 384:
+        # big prim tables: rematerialized VJP or the residuals OOM the chip
+        cfg = dataclasses.replace(cfg, remat=True)
     org, dirs = pixel_rays(cam)
     n = org.shape[0]
     rid = jnp.arange(n, dtype=jnp.int32)

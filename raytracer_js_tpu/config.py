@@ -123,6 +123,15 @@ class RenderConfig:
     #: but multiplies trace size by refmax (first compiles over the remote
     #: TPU tunnel were observed at ~10 min unrolled vs seconds rolled).
     unroll: bool = False
+    #: rematerialize each bounce in the VJP (jax.checkpoint, with flat
+    #: loop carries) instead of saving its residuals. REQUIRED for
+    #: big-wavefront gradients over big prim tables: without it 2.09M
+    #: rays x 1002-row tables save 44.6 GB of residuals against 15.75 GB
+    #: of HBM (measured r3). Off by default: the recompute + carry
+    #: reshapes cost ~3.4x on the small-scene headline backward, which
+    #: never OOMs. Gradients are identical either way
+    #: (tests/test_grad.test_remat_gradients_match).
+    remat: bool = False
     #: documented divergence from the reference: nearest forward hit
     #: (argmin t) instead of first-entity-in-set-order (raytracer.ts:186-195).
     #: Kept as a field only for documentation; nearest-hit is the behavior.

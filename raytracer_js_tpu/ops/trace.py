@@ -484,13 +484,49 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     rng = ((sampling.seed_from_key(key), ray_id)
            if scene.has_rough else None)
 
-    def body(b, st):
-        if pid_seq is not None:
-            return _bounce(scene, cfg, accel, st, rng, b,
-                           pid_override=pid_seq[:, b])
-        return _bounce(scene, cfg, accel, st, rng, b)
+    # Under cfg.remat the loop carry is kept FLAT ([n*3] instead of
+    # [n, 3]): XLA assigns while-loop carries (and their VJP cotangents) a
+    # T(8,128) tiled layout that pads a minor dim of 3 to 128 — a 42x
+    # expansion that OOM'd the 2M-ray backward at ~20 x 1 GB of loop
+    # buffers (measured r3; checkpointing alone still held 20.6 GB).
+    # Rank-1 carries are unpadded; the [n, 3] views inside stay fused.
+    # The non-remat path keeps the r2 carry shape — measured 3.4x faster
+    # on the 50-prim headline backward (fusion across the carry reshape
+    # is lost otherwise), and small scenes never OOM.
+    def _pack(st):
+        return (st.org.reshape(-1), st.dir.reshape(-1),
+                st.color.reshape(-1), st.path, st.refr, st.status)
 
-    state = jax.lax.fori_loop(0, cfg.refmax, body, state, unroll=cfg.unroll)
+    def _unpack(f):
+        return RayState(org=f[0].reshape(-1, 3), dir=f[1].reshape(-1, 3),
+                        color=f[2].reshape(-1, 3), path=f[3], refr=f[4],
+                        status=f[5])
+
+    if cfg.remat:
+        # recompute each bounce in the backward pass instead of saving its
+        # residuals (see RenderConfig.remat)
+        def body(b, flat):
+            st = _unpack(flat)
+            if pid_seq is not None:
+                st = _bounce(scene, cfg, accel, st, rng, b,
+                             pid_override=pid_seq[:, b])
+            else:
+                st = _bounce(scene, cfg, accel, st, rng, b)
+            return _pack(st)
+
+        body = jax.checkpoint(body, static_argnums=())
+        state = _unpack(jax.lax.fori_loop(0, cfg.refmax, body,
+                                          _pack(state),
+                                          unroll=cfg.unroll))
+    else:
+        def body(b, st):
+            if pid_seq is not None:
+                return _bounce(scene, cfg, accel, st, rng, b,
+                               pid_override=pid_seq[:, b])
+            return _bounce(scene, cfg, accel, st, rng, b)
+
+        state = jax.lax.fori_loop(0, cfg.refmax, body, state,
+                                  unroll=cfg.unroll)
 
     # One final pass for rays that survived refmax bounces without a hit
     # resolution in the loop: rays still ALIVE after refmax hits -> black

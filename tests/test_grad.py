@@ -140,3 +140,37 @@ def test_grad_through_pallas_hit_backend():
                     jax.tree_util.tree_leaves(g_pallas)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_remat_gradients_match():
+    """cfg.remat recomputes bounces in the VJP instead of saving residuals
+    (the big-wavefront memory knob) — gradients must be identical."""
+    import dataclasses
+
+    import jax
+
+    from raytracer_js_tpu import RenderConfig
+    from raytracer_js_tpu.models.camera import make_camera, pixel_rays
+    from raytracer_js_tpu.parallel.sharding import float_partition
+    from raytracer_js_tpu.render import render_rays
+    from scenes import config1_scene
+
+    scene = config1_scene()
+    cam = make_camera((0, 0, 0.5), 16, 8, np.pi / 2, np.pi / 4)
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    key = jax.random.key(0)
+    params, rebuild = float_partition(scene)
+
+    def loss(params, cfg):
+        c = render_rays(rebuild(params), cfg, org, dirs, key, rid)
+        return jnp.sum(c ** 2)
+
+    cfg = RenderConfig(refmax=3)
+    v0, g0 = jax.value_and_grad(loss)(params, cfg)
+    v1, g1 = jax.value_and_grad(loss)(
+        params, dataclasses.replace(cfg, remat=True))
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
