@@ -15,9 +15,9 @@ Config modes (BASELINE.md "Benchmark configs"):
        3 bounces (PALLAS hit kernel + XLA shading — image textures are
        outside the fused-kernel class)
     4: 1080p, 100k primitives, full reflection path, depth-8 octree
-    5: 8-view batch inverse-rendering fit step, 1M primitives (the
-       multi-host config; single-chip runs report per-chip step time at a
-       reduced view resolution — see --c5-res)
+    5: 8-view batch inverse-rendering step at the STATED shape (1080p x
+       8 views, 1M primitives): OCTREE record + path-replay gradients,
+       processed in --c5-slices ray slices per view
 """
 from __future__ import annotations
 
