@@ -220,14 +220,21 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
         max_per_cell = like.max_per_cell
 
     # empty-space skip field: chebyshev distance to the nearest occupied
-    # cell (scipy chamfer transform of the empty mask), capped at u8
-    from scipy import ndimage
-
+    # cell (scipy chamfer transform of the empty mask when available),
+    # capped at u8. The numpy fallback iteratively box-dilates the
+    # occupancy mask and caps the distance low — an UNDERestimate only
+    # weakens the walker's skip stride, never correctness (the skip field
+    # promises "no occupied cell within d", and a smaller d promises less).
     occ = (np.diff(offsets) > 0).reshape(R, R, R)
-    if occ.any():
-        dist = ndimage.distance_transform_cdt(~occ, metric="chessboard")
-    else:
+    if not occ.any():
         dist = np.full((R, R, R), 255, np.int64)
+    else:
+        try:
+            from scipy import ndimage
+
+            dist = ndimage.distance_transform_cdt(~occ, metric="chessboard")
+        except ImportError:
+            dist = _chebyshev_dist_np(occ, cap=15)
     skip = np.minimum(dist, 255).astype(np.uint8).reshape(-1)
 
     return OctreeAccel(
@@ -238,6 +245,36 @@ def build_octree(scene: Scene, cfg: OctreeConfig | None = None,
         cell_ids=jnp.asarray(cell_ids),
         skip_dist=jnp.asarray(skip),
         max_depth=L, l_cut=l_cut, max_per_cell=max(1, max_per_cell))
+
+
+def _chebyshev_dist_np(occ: "np.ndarray", cap: int = 15) -> "np.ndarray":
+    """Chebyshev distance to the nearest occupied cell, numpy-only.
+
+    One radius-1 box dilation per iteration (three separable axis passes of
+    shifted maxima); cells not reached after ``cap`` steps report ``cap``
+    (an underestimate of the true distance — conservative for the walker's
+    empty-space skip). Dependency-free fallback for
+    ``scipy.ndimage.distance_transform_cdt`` (pyproject declares only
+    jax+numpy).
+    """
+    cur = occ.copy()
+    dist = np.where(occ, 0, cap).astype(np.int16)
+    for d in range(1, cap):
+        for ax in range(3):
+            fwd = np.roll(cur, 1, axis=ax)
+            bwd = np.roll(cur, -1, axis=ax)
+            # zero the wrapped slab (roll is circular; the grid edge is not)
+            sl = [slice(None)] * 3
+            sl[ax] = 0
+            fwd[tuple(sl)] = False
+            sl[ax] = -1
+            bwd[tuple(sl)] = False
+            cur = cur | fwd | bwd
+        newly = cur & (dist == cap)
+        if not newly.any():
+            break
+        dist[newly] = d
+    return dist.astype(np.int64)
 
 
 def build_node_directory(scene: Scene, cfg: OctreeConfig | None = None

@@ -99,12 +99,13 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
     def _live_block():
         _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                            t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
-                           n_tri=n_tri, n_rays=n_rays, tb_ref=tb_ref)
+                           n_tri=n_tri, n_rays=n_rays, tb_ref=tb_ref,
+                           nl_ref=nl_ref)
 
 
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
-                       tb_ref=None):
+                       tb_ref=None, nl_ref=None):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -144,21 +145,30 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         # the block origins, axis = mean direction, cos_t = worst
         # alignment — the same conservative identity as
         # accel/candidates.cone_include_np, evaluated per 128-prim tile
-        # as a scalar predicate that skips the whole tile
-        r_inv = 1.0 / r_blk
-        o0x = jnp.sum(ox) * r_inv
-        o0y = jnp.sum(oy) * r_inv
-        o0z = jnp.sum(oz) * r_inv
-        ro = jnp.sqrt(jnp.max((ox - o0x) ** 2 + (oy - o0y) ** 2
-                              + (oz - o0z) ** 2))
-        axm = jnp.sum(dx) * r_inv
-        aym = jnp.sum(dy) * r_inv
-        azm = jnp.sum(dz) * r_inv
+        # as a scalar predicate that skips the whole tile. Rows past the
+        # live prefix (n_live straddling this block, or rays padded past
+        # n_rays) are EXCLUDED from the statistics — a single dead row's
+        # padded direction would collapse cos_t and silently disable the
+        # cull for every partial tail block.
+        row = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0) + i * r_blk
+        lim = n_rays if nl_ref is None else jnp.minimum(nl_ref[0, 0], n_rays)
+        lv = row < lim                                       # [R, 1] bool
+        lvf = lv.astype(jnp.float32)
+        r_inv = 1.0 / jnp.maximum(jnp.sum(lvf), 1.0)
+        o0x = jnp.sum(ox * lvf) * r_inv
+        o0y = jnp.sum(oy * lvf) * r_inv
+        o0z = jnp.sum(oz * lvf) * r_inv
+        ro = jnp.sqrt(jnp.max(((ox - o0x) ** 2 + (oy - o0y) ** 2
+                               + (oz - o0z) ** 2) * lvf))
+        axm = jnp.sum(dx * lvf) * r_inv
+        aym = jnp.sum(dy * lvf) * r_inv
+        azm = jnp.sum(dz * lvf) * r_inv
         a_n = 1.0 / jnp.sqrt(jnp.maximum(
             axm * axm + aym * aym + azm * azm, 1e-20))
         axm, aym, azm = axm * a_n, aym * a_n, azm * a_n
         d_inv = 1.0 / jnp.sqrt(a)
-        cos_t = jnp.min((dx * axm + dy * aym + dz * azm) * d_inv)
+        cos_t = jnp.min(jnp.where(
+            lv, (dx * axm + dy * aym + dz * azm) * d_inv, 1.0))
         use_cone = cos_t >= 0.25
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
@@ -583,9 +593,12 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
 
     ``interpret`` defaults to True off-TPU so the same code path is testable
     on the CPU mesh (pallas interpret mode). ``n_live`` (traced scalar)
-    declares that only the first n_live rays matter — whole ray blocks past
-    it are skipped in-kernel (callers compact live rays to the front; rows
-    past n_live report miss).
+    declares that only the first n_live rays matter — whole ray BLOCKS past
+    it are skipped in-kernel (callers compact live rays to the front).
+    NOTE: only fully-dead blocks report miss; a block straddling n_live
+    computes real results for its rows past n_live, so callers must mask
+    rows >= n_live themselves (as render_tiled._rescue_round does via its
+    ``working`` mask).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

