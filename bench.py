@@ -476,10 +476,21 @@ def bench_backward(scene, cam, args, w, h):
 
     import dataclasses
 
-    cfg = RenderConfig(refmax=2, backend=HitBackend.PALLAS)
+    # unroll: the rolled while-loop VJP stacks T(8,128)-padded carries per
+    # iteration — measured r4: 2.5x backward cost at this shape (see
+    # tools/bench_results_r4/exp_backward.jsonl and the trace_rays replay
+    # auto-unroll note)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.PALLAS, unroll=True)
+    cfg_search = cfg
     if args.spheres > 384:
-        # big prim tables: rematerialized VJP or the residuals OOM the chip
-        cfg = dataclasses.replace(cfg, remat=True)
+        # SEARCH-mode grad at big prim tables: XLA sometimes fails to fuse
+        # the [N, K] one-hot into its jvp dot (measured r4: two
+        # materialized 8.4 GB one-hots OOM'd the 1000-sphere search graph;
+        # remat+unroll still missed HBM by 84 MB) — remat + rolled bounds
+        # the live set to one bounce. The REPLAY graph (the steady-state
+        # step) fuses fine and stays non-remat+unrolled: measured r4
+        # 31.5 ms vs 169 ms remat-rolled at 1000 prims.
+        cfg_search = dataclasses.replace(cfg, remat=True, unroll=False)
     org, dirs = pixel_rays(cam)
     n = org.shape[0]
     rid = jnp.arange(n, dtype=jnp.int32)
@@ -488,7 +499,8 @@ def bench_backward(scene, cam, args, w, h):
     target = jnp.zeros((n, 3), jnp.float32)
 
     def loss(params):
-        colors = render_rays(rebuild(params), cfg, org, dirs, key, rid)
+        colors = render_rays(rebuild(params), cfg_search, org, dirs, key,
+                             rid)
         return jnp.sum((colors - target) ** 2) / n
 
     fn = jax.jit(jax.value_and_grad(loss))

@@ -1,31 +1,51 @@
-"""MXU-friendly row gathers.
+"""MXU-friendly row gathers with a residual-free custom VJP.
 
 XLA lowers ``table[idx]`` per-ray gathers on TPU to slow scatter/gather
 sequences; for the small tables this framework gathers from (primitive
 params, material columns, solid-texture colors — tens to thousands of rows)
 the fast TPU idiom is a one-hot matmul: ``one_hot(idx) @ table`` rides the
-MXU as a dense [N, K] x [K, C] contraction. Above ``ONE_HOT_MAX_ROWS`` the
-[N, K] one-hot would dominate HBM traffic, so we fall back to jnp.take.
+MXU as a dense [N, K] x [K, C] contraction, with XLA fusing the
+``iota == idx`` compare into the matmul operand so the one-hot is never
+materialized in HBM.
+
+Autodiff is where the naive version fell over (measured r3): the one-hot is
+an *operand* of the matmul, so plain autodiff SAVES the logical [N, K]
+array as a VJP residual — 8.4 GB per gather at 2.09M rays x 1002 rows,
+OOMing the chip, and ~0.4 GB per gather even at the 50-prim headline scene
+(several gathers per bounce x refmax bounces of pure HBM residual traffic).
+:func:`onehot_gather` is therefore wrapped in ``jax.checkpoint``: the VJP
+residuals shrink to the gather's *inputs* (the [N] int32 index and the
+small table), the backward pass rebuilds the one-hot compare on the fly
+(fused into the [K, N] x [N, C] cotangent contraction exactly as the
+forward fuses it), and — unlike a hand-written custom_vjp — the standard
+transpose machinery still inserts the automatic psum for replicated table
+cotangents under shard_map, so the sharded fit path keeps its exact
+gradient semantics. Residual cost drops from O(N*K) to O(N) per gather.
 """
 from __future__ import annotations
 
+import functools
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
-#: one-hot gather cutoff: [N, K] f32 at N=2M, K=1024 is 8 GB *logical* but
-#: XLA fuses the iota==idx compare into the matmul operand, so the real cost
-#: is the MXU pass ~ N*K*C MACs; past ~1k rows jnp.take wins again.
-ONE_HOT_MAX_ROWS = 1024
+#: one-hot gather row cutoff. With the custom VJP nothing [N, K]-shaped is
+#: ever saved, so the limit is pure MXU flops (N*K*C MACs each way) versus
+#: jnp.take's per-element gather cost (~1.4 ns/elem on-chip, and a
+#: serialized scatter-add in its VJP). Measured r3/r4: one-hot wins by a
+#: wide margin through the low thousands of rows; 4096 covers the 1000-prim
+#: backward bench class on the MXU in both directions.
+ONE_HOT_MAX_ROWS = 4096
 
-#: ...except under autodiff, where the one-hot operand is SAVED as a VJP
-#: residual — measured r3: a value_and_grad at 2.09M rays over 1002-row
-#: prim tables compiled to 23.75 GB of HBM (8.4 GB per saved [N, K]
-#: one-hot) and OOM'd the chip. Cap the LOGICAL one-hot size too: at 2M
-#: rays that keeps K <= ~128 (material/texture tables ride the MXU,
-#: thousand-row prim tables fall back to take/scatter).
-ONE_HOT_MAX_ELEMS = 1 << 28
+#: logical [N, K] cap — a flop guard now, not a memory guard (nothing is
+#: materialized or saved): 2^33 keeps the worst per-gather contraction at
+#: ~N*K*C ~ 1e11 MACs (a few ms on the MXU), past which take/scatter wins.
+#: Million-row tables (config 5's prim table) stay on the take path.
+ONE_HOT_MAX_ELEMS = 1 << 33
 
 #: integer/bool columns roundtrip through the f32 matmul; f32 represents
 #: integers exactly only below 2^24, so larger stored values would silently
@@ -46,8 +66,6 @@ def _check_int_exact(t: Array) -> None:
         return
     if isinstance(t, jax.core.Tracer) or t.dtype == jnp.bool_:
         return
-    import numpy as np
-
     v = np.asarray(t)
     if v.size and (np.abs(v).max() >= INT_EXACT_MAX):
         raise ValueError(
@@ -55,13 +73,26 @@ def _check_int_exact(t: Array) -> None:
             f"(max {np.abs(v).max()}); f32 matmul would corrupt them")
 
 
+@jax.checkpoint
+def onehot_gather(idx: Array, cat: Array) -> Array:
+    """``cat[idx]`` for [N] int idx and [K, C] float cat via one-hot matmul.
+
+    HIGHEST precision: the default TPU matmul rounds operands to bf16
+    (0.6 -> 0.6015625), silently corrupting float columns; the 3-pass f32
+    split reproduces one-hot selection exactly. ``jax.checkpoint`` keeps the
+    [N, K] one-hot out of the VJP residuals (see module docstring).
+    """
+    k = cat.shape[0]
+    oh = (idx[:, None] == jax.lax.iota(jnp.int32, k)[None, :]).astype(
+        cat.dtype)
+    return jnp.matmul(oh, cat, precision=jax.lax.Precision.HIGHEST)
+
+
 def gather_rows(table: Array, idx: Array) -> Array:
     """``table[idx]`` for a [K, C...] table and [N] int idx -> [N, C...].
 
-    One-hot matmul for small K (MXU), jnp.take otherwise.
+    One-hot matmul for small K (MXU, residual-free VJP), jnp.take otherwise.
     """
-    import math
-
     k = table.shape[0]
     if k == 0:
         raise ValueError("empty table")
@@ -69,19 +100,15 @@ def gather_rows(table: Array, idx: Array) -> Array:
     if k > ONE_HOT_MAX_ROWS or n * k > ONE_HOT_MAX_ELEMS or table.ndim > 2:
         return jnp.take(table, idx, axis=0)
     tab2 = table[:, None] if table.ndim == 1 else table
-    oh = jax.nn.one_hot(idx, k, dtype=tab2.dtype)          # [N, K]
-    # HIGHEST: default TPU matmul precision rounds the table operand to
-    # bf16 (0.6 -> 0.6015625), silently corrupting float columns; the
-    # 3-pass f32 split reproduces one-hot selection exactly
-    out = jnp.matmul(oh, tab2, precision=jax.lax.Precision.HIGHEST)
+    flat = idx.reshape(-1).astype(jnp.int32)
+    out = onehot_gather(flat, tab2)
+    out = out.reshape(*idx.shape, tab2.shape[1])
     return out[..., 0] if table.ndim == 1 else out
 
 
 def gather_cols(idx: Array, *tables: Array) -> tuple:
     """Gather the same [N] idx from several [K]/[K,C] tables, sharing the
     one-hot operand so XLA computes it once."""
-    import math
-
     if not tables:
         return ()
     k = tables[0].shape[0]
@@ -97,16 +124,15 @@ def gather_cols(idx: Array, *tables: Array) -> tuple:
         cols.append(t2.astype(jnp.float32))
         widths.append(t2.shape[1])
     cat = jnp.concatenate(cols, axis=1)                    # [K, sum]
-    oh = jax.nn.one_hot(idx, k, dtype=jnp.float32)
-    # HIGHEST: see gather_rows — exact f32 selection on the MXU
-    out = jnp.matmul(oh, cat, precision=jax.lax.Precision.HIGHEST)
+    out = onehot_gather(idx.reshape(-1).astype(jnp.int32), cat)
+    out = out.reshape(*idx.shape, cat.shape[1])
     res = []
     off = 0
     for t, w in zip(tables, widths):
-        piece = out[:, off:off + w]
+        piece = out[..., off:off + w]
         off += w
         if t.ndim == 1:
-            piece = piece[:, 0]
+            piece = piece[..., 0]
         if jnp.issubdtype(t.dtype, jnp.integer) or t.dtype == jnp.bool_:
             piece = jnp.round(piece).astype(t.dtype)
         else:

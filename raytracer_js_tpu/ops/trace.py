@@ -467,6 +467,15 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     n = org.shape[0]
     if start_refr is None:
         start_refr = jnp.broadcast_to(scene.default_refr, (n,))
+    # REPLAY mode auto-unrolls small bounce loops: the replay graph has no
+    # search kernel, so unrolling compiles in seconds — and the rolled
+    # while-loop's VJP stacks T(8,128)-padded carries per iteration
+    # (measured r4 at 1080p/2-bounce: value_and_grad 29.4 ms rolled vs
+    # 11.7 ms unrolled at 50 prims, 48.8 vs 31.5 ms at 1000 prims —
+    # tools/bench_results_r4/exp_backward.jsonl). Search-mode traces keep
+    # cfg.unroll (unrolled search graphs have been seen to compile ~10 min
+    # over the TPU tunnel).
+    unroll = cfg.unroll or (pid_seq is not None and cfg.refmax <= 4)
     # Derive the fresh per-ray state from ``org`` so that under shard_map the
     # whole fori_loop carry is uniformly device-varying (a replicated
     # jnp.zeros initial value trips the scan vma check).
@@ -517,7 +526,7 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         body = jax.checkpoint(body, static_argnums=())
         state = _unpack(jax.lax.fori_loop(0, cfg.refmax, body,
                                           _pack(state),
-                                          unroll=cfg.unroll))
+                                          unroll=unroll))
     else:
         def body(b, st):
             if pid_seq is not None:
@@ -526,7 +535,7 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
             return _bounce(scene, cfg, accel, st, rng, b)
 
         state = jax.lax.fori_loop(0, cfg.refmax, body, state,
-                                  unroll=cfg.unroll)
+                                  unroll=unroll)
 
     # One final pass for rays that survived refmax bounces without a hit
     # resolution in the loop: rays still ALIVE after refmax hits -> black

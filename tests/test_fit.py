@@ -52,6 +52,81 @@ def test_fit_recovers_texture_color():
     np.testing.assert_allclose(got, [0.8, 0.3, 0.1], atol=0.05)
 
 
+def _pose_scene():
+    """Camera INSIDE three large emissive spheres: every pixel hits, so the
+    ISL brightness field is a smooth function of the pose (no discrete
+    hit-boundary signal, which stop_gradient discards by design), and the
+    three distinct centers break the single-sphere rotational gauge."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.2, 0.2, 0.2)))
+    m = b.add_material(ResponseType.REFLECTION, light=True)
+    t = b.add_solid_texture((0.9, 0.6, 0.3))
+    for c, r in (((6.0, 2.0, -1.5), 12.0), ((-4.0, -3.0, 2.0), 14.0),
+                 ((1.0, 8.0, 3.0), 16.0)):
+        b.add_sphere(c, r, m, t)
+    return b.build()
+
+
+def test_fit_recovers_camera_pose():
+    """FitConfig.fit_cameras: a perturbed camera pose (translation AND
+    rotation) converges back to the pose that rendered the target
+    (VERDICT r3 #6 / SURVEY §7 step 7). Exercises the Riemannian triad
+    projection (optim/fit._project_triad_grads) — raw-triad gradients
+    diverge on this same landscape — and checks the recovered triad stays
+    orthonormal."""
+    scene = _pose_scene()
+    cfg = RenderConfig(refmax=1, distance_attenuation_factor=0.1)
+    key = jax.random.key(5)
+    true_cam = make_camera((0, 0, 0), 24, 24, np.pi / 2, np.pi / 2)
+    targets = _targets(scene, [true_cam], cfg, key)
+
+    from raytracer_js_tpu.models.camera import move, rotate_h
+    from raytracer_js_tpu.parallel.sharding import float_partition
+    start_cam = rotate_h(move(true_cam, (0.1, 0.2, -0.15)), 0.06)
+    l0 = float(multiview_loss(scene, cfg, [start_cam], targets, key))
+    # pose-only: camera leaves sit AFTER the scene float leaves
+    n_scene = len(float_partition(scene)[0])
+    res = fit(scene, cfg, [start_cam], targets,
+              FitConfig(steps=300, lr=1e-2, fit_cameras=True), key=key,
+              trainable=lambda i, p: i >= n_scene)
+    assert res.cameras is not None
+    cam = res.cameras[0]
+    assert res.losses[-1] < l0 * 1e-3, (l0, res.losses[::75])
+    np.testing.assert_allclose(np.asarray(cam.pos), [0.0, 0.0, 0.0],
+                               atol=0.06)
+    np.testing.assert_allclose(np.asarray(cam.front), [1.0, 0.0, 0.0],
+                               atol=0.03)
+    # triad still orthonormal after 300 retraction steps
+    tri = np.stack([np.asarray(cam.front), np.asarray(cam.left),
+                    np.asarray(cam.up)])
+    np.testing.assert_allclose(tri @ tri.T, np.eye(3), atol=1e-5)
+
+
+def test_fit_camera_pose_sharded_matches_unsharded():
+    """fit_cameras composes with the mesh: in-shard ray generation +
+    axis_index slicing reproduces the unsharded trajectory (early steps
+    bitwise-close; later steps drift by f32 reduction-order only)."""
+    from raytracer_js_tpu.parallel import make_mesh
+
+    scene = _pose_scene()
+    cfg = RenderConfig(refmax=1, distance_attenuation_factor=0.1)
+    key = jax.random.key(7)
+    true_cam = make_camera((0, 0, 0), 16, 8, np.pi / 2, np.pi / 2)
+    targets = _targets(scene, [true_cam], cfg, key)
+    from raytracer_js_tpu.models.camera import move
+    start_cam = move(true_cam, (0.0, 0.2, 0.0))
+
+    fc = FitConfig(steps=2, lr=1e-2, fit_cameras=True)
+    r_plain = fit(scene, cfg, [start_cam], targets, fc, key=key)
+    r_shard = fit(scene, cfg, [start_cam], targets, fc, key=key,
+                  mesh=make_mesh())
+    np.testing.assert_allclose(r_plain.losses, r_shard.losses,
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r_plain.cameras[0].pos),
+                               np.asarray(r_shard.cameras[0].pos),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_fit_sharded_matches_unsharded_first_step():
     from raytracer_js_tpu.parallel import make_mesh
 
