@@ -180,6 +180,7 @@ def _time_sustained(fn, arg, burst=64, repeats=3):
 def run_config(args):
     """BASELINE.md benchmark configs 1-5; prints one JSON line."""
     import jax
+    import jax.numpy as jnp
 
     from raytracer_js_tpu import RenderConfig, make_camera, render_hdr
     from raytracer_js_tpu.config import HitBackend, OctreeConfig
@@ -251,6 +252,25 @@ def run_config(args):
             s, cfg, cam, tables=(tb, ct, c_max, gr), with_diag=True))(
                 scene, tab, cnts, grid)
         detail["unresolved"] = int(diag["unresolved"])  # 0 == exact frame
+    elif n in (1, 2):
+        # small frames are DISPATCH-bound one at a time (0.15-0.2 ms/frame
+        # vs a ~24 ms tunnel RTT amortized over the burst — r3's config 1/2
+        # numbers swung 2x run-to-run on tunnel noise). Batch K frames into
+        # ONE dispatch so the JSON reflects chip throughput: the K cameras
+        # get per-frame 1e-5 position jitter purely so XLA cannot CSE the
+        # K identical kernel calls into one.
+        kf = args.frames_per_dispatch
+        offs = jnp.asarray(
+            np.arange(kf, dtype=np.float32)[:, None] * [1e-5, 0, 0])
+        poss = cam.pos[None, :] + offs
+
+        def batch(s, poss):
+            return jnp.stack([
+                render_hdr(s, cam.replace(pos=poss[i]), cfg)
+                for i in range(kf)])
+
+        fn = jax.jit(functools.partial(batch, poss=poss))
+        detail["frames_per_dispatch"] = kf
     else:
         fn = jax.jit(lambda s: render_hdr(s, cam, cfg, accel=accel))
     img = fn(scene)
@@ -258,6 +278,8 @@ def run_config(args):
     dt, times = _time_sustained(fn, scene, burst=args.burst)
     sync_dt, _ = _time_best(fn, scene, args.repeats)
     rays = w * h * cfg.spp
+    if n in (1, 2):
+        rays *= args.frames_per_dispatch
     detail.update(w=w, h=h, refmax=cfg.refmax, sustained_s=dt,
                   times_s=times, sync_s=sync_dt, backend=str(cfg.backend))
     print(json.dumps({
@@ -275,18 +297,22 @@ def run_config5(args):
     step is validated by __graft_entry__.dryrun_multichip + bench_scaling).
 
     The production step is record + path-replay (optim/fit.replay_every):
-    the OCTREE forward records each view's discrete winners (amortized over
+    a forward pass records each view's discrete winners (amortized over
     ``--c5-replay-every`` steps), and the per-step gradient differentiates
-    the search-free replay — prim-count-independent. Reported value =
-    steady-state replay-backward rays/s; ``amortized`` folds the recording
-    in. Both stages are per-view jits (one compile, 8 calls).
+    the search-free replay — prim-count-independent. Recording runs on the
+    TILED frame path by default (render_frame_tiled with_record — the
+    winners the frame kernel already computes; r3's OCTREE-DDA recording
+    cost 1198 s per 8-view pass and stays available via
+    ``--c5-record octree``). Reported value = steady-state replay-backward
+    rays/s; ``amortized`` folds the recording in. Host-side candidate
+    tables are camera-pose-keyed and reused across recordings (same
+    staleness policy as the octree rebuild), reported as ``setup_s``.
     """
     import jax
     import jax.numpy as jnp
 
     from raytracer_js_tpu import RenderConfig, make_camera
-    from raytracer_js_tpu.accel.octree import build_octree
-    from raytracer_js_tpu.config import HitBackend, OctreeConfig
+    from raytracer_js_tpu.config import HitBackend
     from raytracer_js_tpu.models.camera import pixel_rays
     from raytracer_js_tpu.ops.trace import record_paths, trace_rays
     from raytracer_js_tpu.parallel.sharding import float_partition
@@ -294,52 +320,99 @@ def run_config5(args):
 
     w, h = args.c5_res
     views = 8
-    cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
     scene = build_config4_scene(args.c5_prims)
-    accel = build_octree(scene, OctreeConfig(max_depth=8))
     cams = [make_camera((0.0, float(v - views // 2), 0.5), w, h,
                         np.pi / 2, np.pi / 2 * h / w) for v in range(views)]
     rays_dirs = [pixel_rays(c) for c in cams]
     key = jax.random.key(0)
     params, rebuild = float_partition(scene)
     n_pix = w * h
-    # each view is processed in --c5-slices ray slices: one 2M-ray x 1M-prim
-    # DDA record crashes the TPU worker (r3: reproducible between 262k and
-    # 522k rays); production would tile identically, and rid offsets keep
-    # the RNG streams global either way
     n_slc = max(1, args.c5_slices)
     assert n_pix % n_slc == 0, (n_pix, n_slc)
     ns = n_pix // n_slc
-
-    def record_slice(params, org, dirs, rid):
-        sc = rebuild(params)
-        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))
-        return record_paths(sc, cfg, org, dirs, key, rid,
-                            start_refr=refr0, accel=accel)
-
-    rec_jit = jax.jit(record_slice)
+    setup_s = 0.0
 
     def slices():
-        for v, (o, d) in enumerate(rays_dirs):
+        for v in range(views):
+            o, d = rays_dirs[v]
             for s in range(n_slc):
                 sl = slice(s * ns, (s + 1) * ns)
                 rid = (jnp.arange(s * ns, (s + 1) * ns, dtype=jnp.int32)
                        + v * n_pix)
                 yield v, o[sl], d[sl], rid
 
-    def record_all(params):
-        return [rec_jit(params, o, d, rid) for _, o, d, rid in slices()]
+    if args.c5_record == "tiled":
+        from raytracer_js_tpu.accel import candidates as cand
+        from raytracer_js_tpu.kernels import trace_tiled as tt
+        from raytracer_js_tpu.render_tiled import render_frame_tiled
+
+        cfg_t = RenderConfig(refmax=2, backend=HitBackend.TILED)
+        t0 = time.perf_counter()
+        grid = cand.build_cell_grid(scene, c_sel=4096)
+        raw = [cand.frame_candidates(scene, c, tt.TILE_SUB, tt.LANE)
+               for c in cams]
+        c_max = max(c for _, _, c in raw)
+        # pad every view's table to the max c_max so ONE jit serves all 8
+        tabs = []
+        for tab, cnts, c in raw:
+            nt = cnts.shape[0]
+            t = np.asarray(tab).reshape(nt, c, -1)
+            t = np.pad(t, ((0, 0), (0, c_max - c), (0, 0)),
+                       constant_values=np.inf)
+            tabs.append((t.reshape(nt * c_max, -1), np.asarray(cnts)))
+        setup_s = time.perf_counter() - t0
+
+        rec_fn = jax.jit(lambda sc, cam, tab, cnts: render_frame_tiled(
+            sc, cfg_t, cam, tables=(tab, cnts, c_max, grid),
+            with_record=True)[1])
+
+        def record_all(params):
+            sc = rebuild(params)
+            out = []
+            for v in range(views):
+                tab, cnts = tabs[v]
+                rec = rec_fn(sc, cams[v], tab, cnts)   # [n_pix, refmax]
+                out.extend(rec[s * ns:(s + 1) * ns]
+                           for s in range(n_slc))
+            return out
+    else:
+        from raytracer_js_tpu.accel.octree import build_octree
+        from raytracer_js_tpu.config import OctreeConfig
+
+        cfg = RenderConfig(refmax=2, backend=HitBackend.OCTREE)
+        t0 = time.perf_counter()
+        accel = build_octree(scene, OctreeConfig(max_depth=8))
+        setup_s = time.perf_counter() - t0
+
+        # each view is processed in --c5-slices ray slices: one 2M-ray x
+        # 1M-prim DDA record crashes the TPU worker (r3: reproducible
+        # between 262k and 522k rays); production would tile identically,
+        # and rid offsets keep the RNG streams global either way
+        def record_slice(params, org, dirs, rid):
+            sc = rebuild(params)
+            refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))
+            return record_paths(sc, cfg, org, dirs, key, rid,
+                                start_refr=refr0, accel=accel)
+
+        rec_jit = jax.jit(record_slice)
+
+        def record_all(params):
+            return [rec_jit(params, o, d, rid)
+                    for _, o, d, rid in slices()]
 
     t0 = time.perf_counter()
     recs = record_all(params)
     _materialize(recs[-1])
     dt_rec = time.perf_counter() - t0          # one full 8-view recording
 
+    # replay ignores the backend (pid_seq supplies the winners)
+    cfg_replay = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+
     def slice_loss(params, org, dirs, rid, rec):
         sc = rebuild(params)
         refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))
-        st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
-                        pid_seq=rec)
+        st = trace_rays(sc, cfg_replay, org, dirs, key, rid,
+                        start_refr=refr0, pid_seq=rec)
         return jnp.sum(st.color ** 2) / (views * n_pix)
 
     vg_jit = jax.jit(jax.value_and_grad(slice_loss))
@@ -368,7 +441,9 @@ def run_config5(args):
                    "n_prims": scene.n_prims, "mode": "record+replay",
                    "slices_per_view": n_slc,
                    "replay_step_s": dt, "times_s": times,
-                   "record_s": dt_rec, "replay_every": every,
+                   "record_s": dt_rec, "setup_s": setup_s,
+                   "record_mode": args.c5_record,
+                   "replay_every": every,
                    "amortized_rays_per_s": amort,
                    "device": str(jax.devices()[0]),
                    "note": "single-chip; N>=2-host sharding of this step "
@@ -384,6 +459,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--burst", type=int, default=64,
                     help="frames per sustained-throughput burst")
+    ap.add_argument("--frames-per-dispatch", type=int, default=32,
+                    help="config 1/2: frames batched into one dispatch")
     ap.add_argument("--backward", action="store_true",
                     help="measure backward (gradient) rays/s instead")
     ap.add_argument("--config", type=int, default=0,
@@ -402,6 +479,10 @@ def main():
                     help="recording amortization horizon for config 5")
     ap.add_argument("--c5-slices", type=int, default=8,
                     help="ray slices per view for config 5 (memory bound)")
+    ap.add_argument("--c5-record", default="tiled",
+                    choices=["tiled", "octree"],
+                    help="config-5 recording pass: TILED frame forward "
+                         "(with_record) or the r3 OCTREE-DDA slices")
     args = ap.parse_args()
 
     if args.config:

@@ -51,6 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ResponseType
+from ..models import textures as tex_mod
 from ..models.scene import Scene
 
 Array = jnp.ndarray
@@ -126,13 +127,11 @@ def _shade_cols_np(scene: Scene, pid: np.ndarray) -> np.ndarray:
     packed rgb in-place and the XLA glue multiplies the sampled atlas color
     afterwards (render_tiled applies it to image-kind winners only).
     """
-    from ..config import TextureKind
-
     safe = np.clip(pid, 0, max(scene.n_prims - 1, 0))
     tex_id = np.asarray(scene.prim_texture)[safe]
     rgb = np.asarray(scene.textures.solid_rgb)[tex_id]
-    is_img = (np.asarray(scene.textures.kind)[tex_id]
-              == int(TextureKind.IMAGE))
+    is_img = np.asarray(tex_mod.is_image_kind(
+        jnp.asarray(scene.textures.kind)[jnp.asarray(tex_id)]))
     rgb = np.where(is_img[:, None], 1.0, rgb)
     mat_id = np.asarray(scene.prim_material)[safe]
     mat = scene.materials
@@ -474,11 +473,8 @@ def prim_attr_table_jnp(scene: Scene) -> Array:
     becomes a single row-gather from this table. XLA CSEs it across the
     round loop of one jitted frame.
     """
-    from ..config import TextureKind
-
     rgb_all = scene.textures.solid_rgb[scene.prim_texture]
-    is_img = (scene.textures.kind[scene.prim_texture]
-              == int(TextureKind.IMAGE))
+    is_img = tex_mod.is_image_kind(scene.textures.kind[scene.prim_texture])
     rgb_all = jnp.where(is_img[:, None], 1.0, rgb_all)  # glue samples atlas
     mat = scene.materials
     mid = scene.prim_material

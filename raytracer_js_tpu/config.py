@@ -56,7 +56,12 @@ class RayStatus(enum.IntEnum):
 
 class TextureKind(enum.IntEnum):
     SOLID = 0   # reference texture_solid.ts:21-44
-    IMAGE = 1   # reference texture_image.ts:20-137
+    IMAGE = 1   # reference texture_image.ts:20-137 (nearest-neighbor)
+    #: bilinear-filtered image — the reference's own TODO
+    #: (texture_image.ts:52 "TODO: bilinear filtering"); capability beyond
+    #: the reference, opt-in per texture (SceneBuilder.add_image_texture
+    #: ``bilinear=True``)
+    IMAGE_BILINEAR = 2
 
 
 class ToneMapperKind(enum.IntEnum):

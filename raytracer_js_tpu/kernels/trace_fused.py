@@ -93,9 +93,10 @@ def supports(scene: Scene) -> bool:
     Transmission (in-kernel containment scan + Snell/TIR) and roughness
     (in-kernel counter-RNG scatter, ops/sampling) are handled since r2;
     image textures remain the one exclusion (atlas gathers need dynamic
-    lane indexing Mosaic does not have — those scenes route to TILED/PALLAS).
+    lane indexing Mosaic does not have — those scenes route to TILED/PALLAS);
+    cube-map skies likewise sample per-face textures in the glue.
     """
-    return not scene.textures.has_images
+    return not scene.textures.has_images and scene.sky_box is None
 
 
 def _trace_core(ox, oy, oz, dx, dy, dz,

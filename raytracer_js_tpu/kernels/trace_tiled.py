@@ -646,7 +646,10 @@ def _flags(scene):
     want_normal)."""
     has_img = scene.textures.has_images
     want_n = bool(scene.has_rough or scene.has_transmission)
-    return dict(want_uv=has_img, sky_solid=not has_img,
+    # cube-map skies sample per-face textures in the XLA glue, so the
+    # kernel must NOT apply its solid sky even for image-free scenes
+    sky_glue = has_img or scene.sky_box is not None
+    return dict(want_uv=has_img, sky_solid=not sky_glue,
                 has_trans=bool(scene.has_transmission), want_normal=want_n)
 
 

@@ -66,6 +66,11 @@ class Scene:
     default_refr: Array    # [] f32: empty-space substance (raytracer.ts:38-39)
     # sky: equirect texture lookup on miss (sky/sky_sphere.ts:22-27)
     sky_tex: int = struct.field(pytree_node=False, default=0)
+    #: cube-map sky: 6 texture ids (+x, -x, +y, -y, +z, -z faces) or None.
+    #: The reference's SkyBox is an unimplemented stub (sky/sky_box.ts:17
+    #: "not supported yet"); this completes it as capability beyond the
+    #: reference — see ops/trace.sky_color for the face convention.
+    sky_box: tuple | None = struct.field(pytree_node=False, default=None)
     # static capability flags — let jit drop whole shading sub-graphs for
     # scenes that cannot exercise them (a transmission substance query is an
     # [N, P] containment matrix per bounce; the roughness scatter draws
@@ -137,6 +142,7 @@ class SceneBuilder:
         self._boxes: List[tuple] = []     # (center, half, mat, tex, sub)
         self._tris: List[tuple] = []      # (v0, v1, v2, mat, tex, sub)
         self._sky_tex: Optional[int] = None
+        self._sky_box: Optional[tuple] = None
         self._default_refr: float = REFR_AIR
 
     # -- tables ------------------------------------------------------------
@@ -153,10 +159,13 @@ class SceneBuilder:
         self._tex_solid.append(np.asarray(rgb, np.float32).reshape(3))
         return len(self._tex_kind) - 1
 
-    def add_image_texture(self, image: np.ndarray, fallback=(0.0, 0.0, 0.0)) -> int:
+    def add_image_texture(self, image: np.ndarray, fallback=(0.0, 0.0, 0.0),
+                          bilinear: bool = False) -> int:
         """ImageTexture (texture_image.ts:20-137); ``image`` is [H, W, 3]
         float in [0, 1], resized (nearest) to the builder's atlas resolution.
-        ``fallback`` mirrors the reference's until-loaded/failed color."""
+        ``fallback`` mirrors the reference's until-loaded/failed color.
+        ``bilinear=True`` opts into 4-tap filtered sampling (the
+        reference's texture_image.ts:52 TODO — capability beyond it)."""
         img = np.asarray(image, np.float32)
         assert img.ndim == 3 and img.shape[2] == 3, img.shape
         ah, aw = self.atlas_hw
@@ -165,7 +174,8 @@ class SceneBuilder:
             xi = (np.arange(aw) * img.shape[1] // aw)
             img = img[yi][:, xi]
         self._images.append(img)
-        self._tex_kind.append(int(TextureKind.IMAGE))
+        self._tex_kind.append(int(TextureKind.IMAGE_BILINEAR if bilinear
+                                  else TextureKind.IMAGE))
         self._tex_ref.append(len(self._images) - 1)
         self._tex_solid.append(np.asarray(fallback, np.float32).reshape(3))
         return len(self._tex_kind) - 1
@@ -176,6 +186,15 @@ class SceneBuilder:
 
     def set_sky(self, tex_id: int) -> None:
         self._sky_tex = tex_id
+        self._sky_box = None
+
+    def set_sky_box(self, face_tex_ids) -> None:
+        """Cube-map sky from 6 texture ids, face order
+        (+x, -x, +y, -y, +z, -z). Completes the reference's SkyBox stub
+        (sky/sky_box.ts:17)."""
+        ids = tuple(int(i) for i in face_tex_ids)
+        assert len(ids) == 6, ids
+        self._sky_box = ids
 
     def set_default_refr(self, refr: float) -> None:
         self._default_refr = float(refr)
@@ -260,10 +279,14 @@ class SceneBuilder:
                 solid_rgb=jnp.asarray(np.stack(self._tex_solid)),
                 atlas=jnp.asarray(atlas),
                 has_images=bool(self._images),
+                has_bilinear=any(
+                    k == int(TextureKind.IMAGE_BILINEAR)
+                    for k in self._tex_kind),
             ),
             sub_refr=jnp.asarray(np.array(self._substances, np.float32)),
             default_refr=jnp.asarray(self._default_refr, jnp.float32),
             sky_tex=int(self._sky_tex),
+            sky_box=self._sky_box,
             has_transmission=any(
                 int(self._materials[i[0]][0]) == int(ResponseType.TRANSMISSION)
                 for i in ids),

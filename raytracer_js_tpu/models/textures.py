@@ -36,10 +36,21 @@ class TextureTable:
     #: static: any IMAGE-kind entries? When False the atlas gather is
     #: compiled out entirely (solid colors ride a one-hot MXU matmul).
     has_images: bool = struct.field(pytree_node=False, default=True)
+    #: static: any IMAGE_BILINEAR entries? Gates the 4-tap filtered path
+    #: (the extra gathers are compiled out for nearest-only scenes).
+    has_bilinear: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_images(self) -> int:
         return self.atlas.shape[0]
+
+
+def is_image_kind(kind: Array) -> Array:
+    """Bool mask: does this TextureKind sample the atlas (nearest OR
+    bilinear)? The single predicate every image-vs-solid dispatch site
+    uses (trace glue, tiled glue, candidate packing)."""
+    return ((kind == int(TextureKind.IMAGE))
+            | (kind == int(TextureKind.IMAGE_BILINEAR)))
 
 
 def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
@@ -67,5 +78,29 @@ def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
     ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     img = tex.atlas[img_row, (h - 1) - iy, ix]
-    is_img = (kind == int(TextureKind.IMAGE))[..., None]
-    return jnp.where(is_img, img, solid)
+    if tex.has_bilinear:
+        # texel-center bilinear (the reference's texture_image.ts:52 TODO):
+        # x = u*W - 0.5 puts integer x on texel centers; the 4 neighbor
+        # taps are edge-clamped, weights are the fractional offsets. Same
+        # bottom-up row flip as the nearest path.
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[..., None]
+        fy = (y - y0)[..., None]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+        r0 = (h - 1) - y0i
+        r1 = (h - 1) - y1i
+        c00 = tex.atlas[img_row, r0, x0i]
+        c10 = tex.atlas[img_row, r0, x1i]
+        c01 = tex.atlas[img_row, r1, x0i]
+        c11 = tex.atlas[img_row, r1, x1i]
+        blin = ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
+                + (1 - fx) * fy * c01 + fx * fy * c11)
+        img = jnp.where(
+            (kind == int(TextureKind.IMAGE_BILINEAR))[..., None], blin, img)
+    return jnp.where(is_image_kind(kind)[..., None], img, solid)

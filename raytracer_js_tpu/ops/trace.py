@@ -303,11 +303,47 @@ def substance_refr_at(scene: Scene, point: Array, cur_refr: Array,
 
 
 def sky_color(scene: Scene, dir: Array) -> Array:
-    """Environment color for a direction — SkySphere equirect lookup
-    (sky/sky_sphere.ts:22-27)."""
-    u, v = uv_map_sphere(dir)
-    tex_id = jnp.full(u.shape, scene.sky_tex, jnp.int32)
-    return tex_mod.sample(scene.textures, tex_id, u, v)
+    """Environment color for a direction.
+
+    SkySphere: equirect lookup (sky/sky_sphere.ts:22-27). With
+    ``scene.sky_box`` set: cube-map lookup — the reference's SkyBox is an
+    unimplemented stub (sky/sky_box.ts:17), so the face convention here is
+    the standard GL one mapped to this scene's axes: faces ordered
+    (+x, -x, +y, -y, +z, -z) by the dominant |component| of ``dir``, with
+
+        +x: (u,v) <- (-z/ax, -y/ax)   -x: (+z/ax, -y/ax)
+        +y: (u,v) <- (+x/ay, +z/ay)   -y: (+x/ay, -z/ay)
+        +z: (u,v) <- (+x/az, -y/az)   -z: (-x/az, -y/az)
+
+    then remapped from [-1, 1] to [0, 1]. Branchless: all six (face, u, v)
+    candidates are computed and the winner selected by the dominant-axis
+    mask (two compares), so a whole wavefront samples in one fused op.
+    """
+    if scene.sky_box is None:
+        u, v = uv_map_sphere(dir)
+        tex_id = jnp.full(u.shape, scene.sky_tex, jnp.int32)
+        return tex_mod.sample(scene.textures, tex_id, u, v)
+    x, y, z = dir[..., 0], dir[..., 1], dir[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    inv = 1.0 / jnp.maximum(jnp.maximum(ax, ay), jnp.maximum(az, 1e-20))
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (~x_major) & (ay >= az)
+    z_major = ~(x_major | y_major)
+    face = jnp.where(
+        x_major, jnp.where(x >= 0, 0, 1),
+        jnp.where(y_major, jnp.where(y >= 0, 2, 3),
+                  jnp.where(z >= 0, 4, 5))).astype(jnp.int32)
+    sc = jnp.where(
+        x_major, jnp.where(x >= 0, -z, z),
+        jnp.where(y_major, x, jnp.where(z >= 0, x, -x)))
+    tc = jnp.where(
+        x_major, -y,
+        jnp.where(y_major, jnp.where(y >= 0, z, -z), -y))
+    eps = jnp.float32(2.0 ** -23)
+    u = jnp.clip(0.5 * (sc * inv + 1.0), 0.0, 1.0 - eps)
+    v = jnp.clip(0.5 * (tc * inv + 1.0), 0.0, 1.0 - eps)
+    face_tex = jnp.asarray(scene.sky_box, jnp.int32)       # static [6]
+    return tex_mod.sample(scene.textures, face_tex[face], u, v)
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,8 @@ def _as_np(scene):
         t_solid=f(scene.textures.solid_rgb), atlas=f(scene.textures.atlas),
         sub_refr=f(scene.sub_refr), default_refr=float(scene.default_refr),
         sky_tex=int(scene.sky_tex),
+        sky_box=(None if scene.sky_box is None
+                 else tuple(int(i) for i in scene.sky_box)),
     )
 
 
@@ -109,13 +111,52 @@ def uv_map_sphere(d):
 
 
 def tex_color(s, tex_id: int, u: float, v: float):
-    if s["t_kind"][tex_id] == 1:  # IMAGE
+    if s["t_kind"][tex_id] == 1:  # IMAGE (nearest)
         atlas = s["atlas"]
         h, w = atlas.shape[1], atlas.shape[2]
         ix = min(max(int(u * w), 0), w - 1)
         iy = min(max(int(v * h), 0), h - 1)
         return atlas[s["t_ref"][tex_id], (h - 1) - iy, ix].copy()
+    if s["t_kind"][tex_id] == 2:  # IMAGE_BILINEAR (models/textures.sample)
+        atlas = s["atlas"]
+        h, w = atlas.shape[1], atlas.shape[2]
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0, y0 = math.floor(x), math.floor(y)
+        fx, fy = x - x0, y - y0
+        xi0 = min(max(x0, 0), w - 1)
+        xi1 = min(max(x0 + 1, 0), w - 1)
+        yi0 = min(max(y0, 0), h - 1)
+        yi1 = min(max(y0 + 1, 0), h - 1)
+        row = s["t_ref"][tex_id]
+        c00 = atlas[row, (h - 1) - yi0, xi0]
+        c10 = atlas[row, (h - 1) - yi0, xi1]
+        c01 = atlas[row, (h - 1) - yi1, xi0]
+        c11 = atlas[row, (h - 1) - yi1, xi1]
+        return ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
+                + (1 - fx) * fy * c01 + fx * fy * c11)
     return s["t_solid"][tex_id].copy()
+
+
+def sky_color_scalar(s, d):
+    """Sky sample for a direction — equirect, or cube map when sky_box is
+    set (mirrors ops/trace.sky_color's face convention exactly)."""
+    if s["sky_box"] is None:
+        u, v = uv_map_sphere(d)
+        return tex_color(s, s["sky_tex"], u, v)
+    x, y, z = float(d[0]), float(d[1]), float(d[2])
+    ax, ay, az = abs(x), abs(y), abs(z)
+    m = max(ax, ay, az, 1e-20)
+    if ax >= ay and ax >= az:
+        face, sc, tc = (0, -z, -y) if x >= 0 else (1, z, -y)
+    elif ay >= az:
+        face, sc, tc = (2, x, z) if y >= 0 else (3, x, -z)
+    else:
+        face, sc, tc = (4, x, -y) if z >= 0 else (5, -x, -y)
+    eps = 2.0 ** -23
+    u = min(max(0.5 * (sc / m + 1.0), 0.0), 1.0 - eps)
+    v = min(max(0.5 * (tc / m + 1.0), 0.0), 1.0 - eps)
+    return tex_color(s, s["sky_box"][face], u, v)
 
 
 # --- intersections (first forward param, matching ops/intersect) -----------
@@ -311,8 +352,7 @@ def trace_ray(s, org, dir, refmax, atten, start_refr, rng=None):
     for _bounce in range(refmax):
         t, pid = nearest_hit(s, org, dir)
         if pid < 0:
-            u, v = uv_map_sphere(dir)
-            color = color * tex_color(s, s["sky_tex"], u, v)
+            color = color * sky_color_scalar(s, dir)
             status = int(RayStatus.MISS)
             break
         point, normal, u, v, t = surface(s, org, dir, pid)

@@ -148,7 +148,7 @@ def _apply_images(scene: Scene, colors, dirs, status, prev_alive, pid, u, v):
     tex_id = scene.prim_texture[pid_c]
     kind = scene.textures.kind[jnp.clip(tex_id, 0,
                                         scene.textures.kind.shape[0] - 1)]
-    is_img = hit & (kind == int(TextureKind.IMAGE))
+    is_img = hit & tex_mod.is_image_kind(kind)
     smp = tex_mod.sample(scene.textures, tex_id, u, v)
     colors = jnp.where(is_img[:, None], colors * smp, colors)
     newly_miss = prev_alive & (status == int(RayStatus.MISS))
@@ -283,7 +283,9 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     ``accel`` feeds the substance point query. ``wave_sub`` overrides the
     packet height (kernels/trace_tiled.WAVE_SUB); ``fine_key`` bins purely
     by fine Morton position (retry rounds — see _morton_key).
-    Returns (new cols, new t_done, resolved_hit [n] bool, new refr [n]).
+    Returns (new cols, new t_done, resolved_hit [n] bool, new refr [n],
+    winner pid [n] i32 — global ids, -1 for unresolved/miss — for the
+    path-recording mode).
     """
     if wave_sub is None:
         wave_sub = tt.WAVE_SUB
@@ -419,7 +421,7 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     t_safe_ray = jnp.concatenate(tsr_parts)
     refr_o = jnp.concatenate(refr_parts)
 
-    if scene.textures.has_images:
+    if scene.textures.has_images or scene.sky_box is not None:
         colors = jnp.stack(new_flat[6:9], axis=-1)
         dirs_o = jnp.stack(new_flat[3:6], axis=-1)
         colors = _apply_images(scene, colors, dirs_o, new_flat[10], alive_s,
@@ -449,11 +451,12 @@ def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
     t_done_s = jnp.where(
         unres, jnp.maximum(jnp.maximum(t_done_s, t_safe_ray) - t_adv, 0.0),
         t_done_s)
-    new_flat += [t_done_s, res_hit.astype(jnp.int32), refr_o]
+    new_flat += [t_done_s, res_hit.astype(jnp.int32), refr_o, pid_o]
     # un-sort by the carried original positions (multi-operand sort again)
     _, *unsorted = jax.lax.sort((inv_pos, *new_flat), num_keys=1)
     return ([u.reshape(rows, tt.LANE) for u in unsorted[:11]],
-            unsorted[11], unsorted[12].astype(bool), unsorted[13])
+            unsorted[11], unsorted[12].astype(bool), unsorted[13],
+            unsorted[14])
 
 
 def _epilogue(cr, cg, cb, path, status, atten):
@@ -500,7 +503,7 @@ RESCUE_CAP = int(__import__("os").environ.get("RT_TILED_RESCUE_CAP",
 
 def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
                   seed, rid, accel=None, cap: Optional[int] = None,
-                  sweep_tab=None):
+                  sweep_tab=None, rec=None):
     """Guaranteed-exact straggler round: compact the still-working rays to
     the front, run the PALLAS whole-table nearest-hit on the first
     RESCUE_CAP of them, and shade/respawn through the XLA replay bounce
@@ -517,7 +520,13 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
     caught by the next rescue round).
 
     ``cols`` are the 11 state columns as [rows, LANE]; ``bounce``/``refr``
-    are flat [n]; returns the updated (cols, bounce, refr).
+    are flat [n]; returns the updated (cols, bounce, refr[, rec]).
+
+    ``rec`` ([n, refmax] i32, -1-initialized) switches on PATH RECORDING:
+    each resolved ray's winner pid is written at its bounce column — the
+    TILED forward then doubles as the recording pass for path-replay
+    gradients (ops/trace.trace_rays ``pid_seq``), replacing the OCTREE-DDA
+    recording that cost 1198 s at config-5 scale (VERDICT r3 #2).
     """
     from .kernels.nearest_hit import nearest_hit_pallas
     from .ops.trace import RayState, _bounce
@@ -530,7 +539,7 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
                & (bounce < cfg.refmax))
 
     def run(args):
-        flat, bounce, refr = args
+        flat, bounce, refr, rec = args
         # compact working rays to the front IN (cell, direction) ORDER:
         # the sweep kernel's block-cone cull only fires when each 512-ray
         # block is spatially and directionally coherent (a 0/1 key leaves
@@ -543,10 +552,13 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
         key = jnp.where(working, key, jnp.int32(1 << 30))
         idx = jnp.arange(n, dtype=jnp.int32)
         rid_s = rid if rid is not None else jnp.zeros((n,), jnp.int32)
+        rec_cols = ([rec[:, j] for j in range(cfg.refmax)]
+                    if rec is not None else [])
         _, inv_pos, *ops_s = jax.lax.sort(
-            (key, idx, *flat, bounce, refr, rid_s), num_keys=1)
+            (key, idx, *flat, bounce, refr, rid_s, *rec_cols), num_keys=1)
         flat_s, bounce_s, refr_s, rid_ss = (ops_s[:11], ops_s[11],
                                             ops_s[12], ops_s[13])
+        rec_s = ops_s[14:14 + len(rec_cols)]
         sl = [f[:cap] for f in flat_s]
         org = jnp.stack(sl[0:3], -1)
         dirs = jnp.stack(sl[3:6], -1)
@@ -591,24 +603,43 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
                   for a, f in zip(new_sl, flat_s)]
         bounce_n = jnp.concatenate([bounce_new, bounce_s[cap:]])
         refr_n = jnp.concatenate([out.refr, refr_s[cap:]])
-        _, *back = jax.lax.sort((inv_pos, *flat_n, bounce_n, refr_n),
-                                num_keys=1)
-        return back[:11], back[11], back[12]
+        rec_n = []
+        for j, rc in enumerate(rec_s):
+            # a working slice ray records its winner (-1 = resolved miss)
+            # at its CURRENT bounce column
+            upd = work_sl & (bounce_s[:cap] == j)
+            rec_n.append(jnp.concatenate(
+                [jnp.where(upd, pid, rc[:cap]), rc[cap:]]))
+        _, *back = jax.lax.sort((inv_pos, *flat_n, bounce_n, refr_n,
+                                 *rec_n), num_keys=1)
+        rec_out = (jnp.stack(back[13:13 + len(rec_n)], axis=1)
+                   if rec_n else rec)
+        return back[:11], back[11], back[12], rec_out
 
     def skip(args):
         return args
 
-    flat, bounce, refr = jax.lax.cond(jnp.any(working), run, skip,
-                                      (flat, bounce, refr))
-    return ([f.reshape(rows, tt.LANE) for f in flat], bounce, refr)
+    flat, bounce, refr, rec = jax.lax.cond(
+        jnp.any(working), run, skip, (flat, bounce, refr, rec))
+    return [f.reshape(rows, tt.LANE) for f in flat], bounce, refr, rec
 
 
 def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                        tables=None, packet_c_max: int = 4096,
                        key=None, sample: int = 0, accel=None,
                        interpret: Optional[bool] = None,
-                       with_diag: bool = False):
+                       with_diag: bool = False,
+                       with_record: bool = False):
     """Full-frame HDR render via the tiled kernel -> [h, w, 3].
+
+    ``with_record=True`` additionally returns ``pid_seq`` [h*w, refmax]
+    i32 — the per-bounce winner primitive of every pixel ray (-1 = miss),
+    exactly the recording :func:`raytracer_js_tpu.ops.trace.trace_rays`
+    replays differentiably (``pid_seq=``). The TILED forward already
+    computes every winner; emitting them makes the big-scene frame path
+    double as the path-recording pass for inverse rendering (the OCTREE-DDA
+    recording it replaces cost 1198 s per 8-view config-5 recording).
+    Return orders: img | (img, diag) | (img, rec) | (img, diag, rec).
 
     Bounce 0 runs the frame kernel on exact untruncated frustum candidate
     lists. Later bounces run ``(refmax - 1) + EXTRA_ROUNDS`` rounds of the
@@ -654,7 +685,7 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
     else:
         seed = rid = None
         refr = jnp.zeros((hp * wp,), jnp.float32)
-    if scene.textures.has_images:
+    if scene.textures.has_images or scene.sky_box is not None:
         flat = {k: st[k].reshape(-1) for k in st}
         # padding pixels started MISS; everything else was ALIVE
         colors = jnp.stack([flat["cr"], flat["cg"], flat["cb"]], -1)
@@ -685,6 +716,11 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
     names = ("ox", "oy", "oz", "dx", "dy", "dz", "cr", "cg", "cb",
              "path", "status")
     unresolved = jnp.zeros((), jnp.int32)
+    rec = None
+    if with_record:
+        rec = jnp.full((hp * wp, cfg.refmax), -1, jnp.int32)
+        rec = rec.at[:, 0].set(jnp.where(
+            valid, st["pid"].reshape(-1), -1).astype(jnp.int32))
     if cfg.refmax > 1:
         h_pad, w_pad = hp, wp
         rows = h_pad * w_pad // tt.LANE
@@ -727,21 +763,21 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             sw_rounds = (cfg.refmax + 3) * (-(-n // sw_cap))
 
             def sw_cond(state):
-                i, cols, bounce, refr = state
+                i, cols, bounce, refr, _rec = state
                 return (i < sw_rounds) & any_working(cols, bounce)
 
             sweep_tab = _sweep_perm(scene) if SWEEP_CULL else None
 
             def sw_body(state):
-                i, cols, bounce, refr = state
-                cols, bounce, refr = _rescue_round(
+                i, cols, bounce, refr, rec = state
+                cols, bounce, refr, rec = _rescue_round(
                     scene, cfg, cols, bounce, refr, seed, rid,
-                    accel=accel, cap=sw_cap, sweep_tab=sweep_tab)
-                return i + 1, cols, bounce, refr
+                    accel=accel, cap=sw_cap, sweep_tab=sweep_tab, rec=rec)
+                return i + 1, cols, bounce, refr, rec
 
-            _, cols, bounce, refr = jax.lax.while_loop(
+            _, cols, bounce, refr, rec = jax.lax.while_loop(
                 sw_cond, sw_body,
-                (jnp.zeros((), jnp.int32), cols, bounce, refr))
+                (jnp.zeros((), jnp.int32), cols, bounce, refr, rec))
             unresolved = jnp.sum(
                 ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
                  & (bounce < cfg.refmax)).astype(jnp.int32))
@@ -750,13 +786,12 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                                       st["path"], st["status"],
                                       float(cfg.distance_attenuation_factor))
             img = jnp.stack([cr, cg, cb], axis=-1)[:cam.h, :cam.w]
-            if with_diag:
-                return img, {"unresolved": unresolved}
-            return img
+            return _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg,
+                             with_diag, with_record)
 
         c_round = min(packet_c_max, ESC_MAX)
 
-        def one_round(cols, t_done, refr, bounce, fine):
+        def one_round(cols, t_done, refr, bounce, rec, fine):
             """One candidate round: cap-mask, packet_bounce, bounce += on
             resolved continuations. Identical for every retry, so the
             retry loop compiles ONE body (a fully unrolled 16-round plan
@@ -768,39 +803,44 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
             cols[10] = jnp.where(capped, _CAP, status_f).reshape(
                 rows, tt.LANE)
             rng = ((seed, rid, bounce, refr) if need_glue else None)
-            cols, t_done, res_hit, refr = packet_bounce(
+            cols, t_done, res_hit, refr, pid_o = packet_bounce(
                 scene, cols, c_round, t_done, rng=rng, accel=accel,
                 wave_sub=tt.WAVE_SUB, fine_key=fine, grid=grid,
                 interpret=interpret)
+            if rec is not None:
+                # record winners at the PRE-increment bounce column
+                for j in range(cfg.refmax):
+                    rec = rec.at[:, j].set(jnp.where(
+                        res_hit & (bounce == j), pid_o, rec[:, j]))
             status_o = cols[10].reshape(-1)
             bounce = bounce + jnp.where(
                 res_hit & (status_o == int(RayStatus.ALIVE)), 1, 0)
             cols[10] = jnp.where(status_o == _CAP, int(RayStatus.ALIVE),
                                  status_o).reshape(rows, tt.LANE)
-            return cols, t_done, refr, bounce
+            return cols, t_done, refr, bounce, rec
 
         # standard rounds: one per remaining bounce, frame-coherent binning
         for _ in range(cfg.refmax - 1):
-            cols, t_done, refr, bounce = jax.lax.cond(
+            cols, t_done, refr, bounce, rec = jax.lax.cond(
                 any_working(cols, bounce),
                 lambda a: one_round(*a, fine=False), lambda a: a,
-                (cols, t_done, refr, bounce))
+                (cols, t_done, refr, bounce, rec))
 
         # marching retry rounds: ONE traced body in a while_loop (stops as
         # soon as every ray is resolved)
         def retry_cond(state):
-            i, cols, t_done, refr, bounce = state
+            i, cols, t_done, refr, bounce, _rec = state
             return (i < EXTRA_ROUNDS) & any_working(cols, bounce)
 
         def retry_body(state):
-            i, cols, t_done, refr, bounce = state
-            cols, t_done, refr, bounce = one_round(cols, t_done, refr,
-                                                   bounce, fine=True)
-            return i + 1, cols, t_done, refr, bounce
+            i, cols, t_done, refr, bounce, rec = state
+            cols, t_done, refr, bounce, rec = one_round(
+                cols, t_done, refr, bounce, rec, fine=True)
+            return i + 1, cols, t_done, refr, bounce, rec
 
-        _, cols, t_done, refr, bounce = jax.lax.while_loop(
+        _, cols, t_done, refr, bounce, rec = jax.lax.while_loop(
             retry_cond, retry_body,
-            (jnp.zeros((), jnp.int32), cols, t_done, refr, bounce))
+            (jnp.zeros((), jnp.int32), cols, t_done, refr, bounce, rec))
 
         # guaranteed-exact finale: whole-table rescue of the stragglers,
         # again one traced body. Bound scaled by the rescue slice count —
@@ -810,19 +850,20 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
         rescue_rounds = (cfg.refmax + 3) * (-(-n // min(RESCUE_CAP, n)))
 
         def rescue_cond(state):
-            i, cols, bounce, refr = state
+            i, cols, bounce, refr, _rec = state
             return (i < rescue_rounds) & any_working(cols, bounce)
 
         def rescue_body(state):
-            i, cols, bounce, refr = state
-            cols, bounce, refr = _rescue_round(scene, cfg, cols, bounce,
-                                               refr, seed, rid,
-                                               accel=accel)
-            return i + 1, cols, bounce, refr
+            i, cols, bounce, refr, rec = state
+            cols, bounce, refr, rec = _rescue_round(scene, cfg, cols,
+                                                    bounce, refr, seed,
+                                                    rid, accel=accel,
+                                                    rec=rec)
+            return i + 1, cols, bounce, refr, rec
 
-        _, cols, bounce, refr = jax.lax.while_loop(
+        _, cols, bounce, refr, rec = jax.lax.while_loop(
             rescue_cond, rescue_body,
-            (jnp.zeros((), jnp.int32), cols, bounce, refr))
+            (jnp.zeros((), jnp.int32), cols, bounce, refr, rec))
         unresolved = jnp.sum(
             ((cols[10].reshape(-1) == int(RayStatus.ALIVE))
              & (bounce < cfg.refmax)).astype(jnp.int32))
@@ -832,6 +873,17 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                               st["status"],
                               float(cfg.distance_attenuation_factor))
     img = jnp.stack([cr, cg, cb], axis=-1)[:cam.h, :cam.w]
+    return _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg, with_diag,
+                     with_record)
+
+
+def _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg, with_diag,
+              with_record):
+    """Assemble render_frame_tiled's return tuple (img | +diag | +rec)."""
+    outs = (img,)
     if with_diag:
-        return img, {"unresolved": unresolved}
-    return img
+        outs = outs + ({"unresolved": unresolved},)
+    if with_record:
+        rec = rec.reshape(hp, wp, cfg.refmax)[:cam.h, :cam.w]
+        outs = outs + (rec.reshape(-1, cfg.refmax),)
+    return outs if len(outs) > 1 else img

@@ -73,3 +73,64 @@ def test_tiled_packet_smoke(tiny, monkeypatch):
     got, diag = render_frame_tiled(scene, cfg, cam, packet_c_max=64,
                                    with_diag=True)
     _check(got, diag, want)
+
+
+@pytest.mark.parametrize("mode", ["sweep", "packet"])
+def test_tiled_record_replays_exactly(tiny, mode, monkeypatch):
+    """with_record: the TILED forward's pid_seq, replayed differentiably by
+    trace_rays, reproduces the frame — the config-5 recording path
+    (VERDICT r3 #2: record from the TILED forward, not the OCTREE DDA)."""
+    import jax.numpy as jnp
+
+    import raytracer_js_tpu.render_tiled as rtl
+    from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.ops.trace import trace_rays
+
+    if mode == "packet":
+        monkeypatch.setattr(rtl, "SWEEP_MAX_PRIMS", 0)
+    scene, cam, cfg, want = tiny
+    got, diag, rec = render_frame_tiled(scene, cfg, cam, with_diag=True,
+                                        with_record=True,
+                                        **({"packet_c_max": 64}
+                                           if mode == "packet" else {}))
+    _check(got, diag, want)
+    assert rec.shape == (cam.h * cam.w, cfg.refmax)
+    import jax
+
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    st = trace_rays(scene, cfg, org, dirs, jax.random.key(0), rid,
+                    pid_seq=rec)
+    replayed = np.asarray(st.color).reshape(cam.h, cam.w, 3)
+    # the replay must reproduce the TILED frame bit-for-bit in structure
+    # (same winners by construction); allclose for the float recompute
+    np.testing.assert_allclose(replayed, np.asarray(got), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_tiled_skybox_and_bilinear(monkeypatch):
+    """Cube-map sky + bilinear textures ride the TILED glue: the kernel
+    must NOT apply its solid sky (sky_solid=False for sky_box scenes) and
+    image-kind winners (incl. bilinear) sample in the glue."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    b = SceneBuilder(atlas_hw=(8, 8))
+    faces = [b.add_solid_texture(c) for c in
+             ((1, 0, 0), (0, 1, 0), (0, 0, 1),
+              (1, 1, 0), (1, 0, 1), (0, 1, 1))]
+    b.set_sky_box(faces)
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    tex = b.add_image_texture(
+        rng.uniform(0.0, 1.0, (8, 8, 3)).astype(np.float32), bilinear=True)
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse, tex)
+    b.add_sphere((4.0, 0.0, 0.5), 1.2, mirror,
+                 b.add_solid_texture((0.9, 0.9, 0.9)))
+    scene = b.build()
+    w, h = tt.LANE, tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
+    _check(got, diag, want)
