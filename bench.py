@@ -349,29 +349,38 @@ def run_config5(args):
         cfg_t = RenderConfig(refmax=2, backend=HitBackend.TILED)
         t0 = time.perf_counter()
         grid = cand.build_cell_grid(scene, c_sel=4096)
-        raw = [cand.frame_candidates(scene, c, tt.TILE_SUB, tt.LANE)
-               for c in cams]
-        c_max = max(c for _, _, c in raw)
-        # pad every view's table to the max c_max so ONE jit serves all 8
+        # one view's candidate table at 1M prims is ~1.3 GB — keep every
+        # view HOST-side (numpy) immediately and bucket-pad c_max to a
+        # multiple of 8192 so (a) all 8 device tables never coexist
+        # (r4: holding all 8 OOM'd the 16 GB chip during setup) and
+        # (b) views in one bucket share one jit
         tabs = []
-        for tab, cnts, c in raw:
+        c_bkt = 8192
+        for c in cams:
+            tab, cnts, c_raw = cand.frame_candidates(scene, c, tt.TILE_SUB,
+                                                     tt.LANE)
+            c_pad = -(-c_raw // c_bkt) * c_bkt
             nt = cnts.shape[0]
-            t = np.asarray(tab).reshape(nt, c, -1)
-            t = np.pad(t, ((0, 0), (0, c_max - c), (0, 0)),
+            t = np.asarray(tab).reshape(nt, c_raw, -1)
+            del tab
+            t = np.pad(t, ((0, 0), (0, c_pad - c_raw), (0, 0)),
                        constant_values=np.inf)
-            tabs.append((t.reshape(nt * c_max, -1), np.asarray(cnts)))
+            tabs.append((t.reshape(nt * c_pad, -1), np.asarray(cnts),
+                         c_pad))
         setup_s = time.perf_counter() - t0
 
-        rec_fn = jax.jit(lambda sc, cam, tab, cnts: render_frame_tiled(
-            sc, cfg_t, cam, tables=(tab, cnts, c_max, grid),
-            with_record=True)[1])
+        @functools.partial(jax.jit, static_argnames=("c_max",))
+        def rec_fn(sc, cam, tab, cnts, grid_, c_max):
+            return render_frame_tiled(sc, cfg_t, cam,
+                                      tables=(tab, cnts, c_max, grid_),
+                                      with_record=True)[1]
 
         def record_all(params):
             sc = rebuild(params)
             out = []
             for v in range(views):
-                tab, cnts = tabs[v]
-                rec = rec_fn(sc, cams[v], tab, cnts)   # [n_pix, refmax]
+                tab, cnts, c_pad = tabs[v]
+                rec = rec_fn(sc, cams[v], tab, cnts, grid, c_max=c_pad)
                 out.extend(rec[s * ns:(s + 1) * ns]
                            for s in range(n_slc))
             return out

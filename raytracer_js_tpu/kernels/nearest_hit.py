@@ -103,9 +103,29 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
                            nl_ref=nl_ref)
 
 
+def _nearest_hit_kernel_listed(nl_ref, ids_ref, cnt_ref, org_ref, dir_ref,
+                               sph_ref, box_ref, tri_ref, t_ref, pid_ref,
+                               *, n_sph, n_box, n_tri, n_rays):
+    i = pl.program_id(0)
+    r0 = t_ref.shape[0]
+
+    @pl.when(i * r0 >= nl_ref[0, 0])
+    def _dead_block():
+        t_ref[:, :] = jnp.full(t_ref.shape, _INF, jnp.float32)
+        pid_ref[:, :] = jnp.full(pid_ref.shape, -1, jnp.int32)
+
+    @pl.when(i * r0 < nl_ref[0, 0])
+    def _live_block():
+        _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
+                           t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
+                           n_tri=n_tri, n_rays=n_rays, ids_ref=ids_ref,
+                           cnt_ref=cnt_ref)
+
+
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
-                       tb_ref=None, nl_ref=None):
+                       tb_ref=None, nl_ref=None, ids_ref=None,
+                       cnt_ref=None):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -172,8 +192,10 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         use_cone = cos_t >= 0.25
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
-    def sphere_tile_body(k, best):
-        k0 = k * BLOCK_K
+    def sphere_math(k0, best):
+        # k0 may be a TRACED tile offset (listed variant): pl.ds dynamic
+        # block slices on the lane dim are supported; only per-lane gathers
+        # are not
         sl = pl.ds(k0, BLOCK_K)
         cT = sph_ref[0:3, sl]                                # [3, K]
         ccmr = sph_ref[3:4, sl]                              # c.c - r^2
@@ -188,8 +210,21 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         t_far = (-b_half + sq) * inv_a
         return _update(best, _first_forward(t_near, t_far, valid), k0, 0)
 
-    if tb_ref is None:
-        sphere_tile = sphere_tile_body
+    def sphere_tile_body(k, best):
+        return sphere_math(k * BLOCK_K, best)
+
+    if ids_ref is not None:
+        # LISTED variant: stream exactly the tiles the XLA-side block cone
+        # selected (render_tiled._block_tile_select) — no per-tile cond in
+        # the stream, so Mosaic pipelines the loads (the in-kernel cond
+        # cull measured SLOWER than dense at config-4: 1.15 s vs 0.93 s)
+        def sphere_listed(j, best):
+            return sphere_math(ids_ref[0, j] * BLOCK_K, best)
+
+        best = jax.lax.fori_loop(0, cnt_ref[0, 0], sphere_listed, best)
+    elif tb_ref is None:
+        best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
+                                 sphere_tile_body, best)
     else:
         def sphere_tile(k, best):
             vx = tb_ref[k, 0] - o0x
@@ -208,7 +243,8 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
             return jax.lax.cond(include, lambda b: sphere_tile_body(k, b),
                                 lambda b: b, best)
 
-    best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K), sphere_tile, best)
+        best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K), sphere_tile,
+                                 best)
 
     # ---- boxes: rows cx, cy, cz, hx, hy, hz -----------------------------
     def box_tile(k, best):
@@ -281,6 +317,50 @@ def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
         if a.shape[0]:
             out = out.at[r, : a.shape[0]].set(a.astype(jnp.float32))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
+                             interpret=False):
+    n_sph, n_box, n_tri, n_rays = meta
+    n_pad = org.shape[0]
+    grid = (n_pad // BLOCK_R,)
+    kern = functools.partial(_nearest_hit_kernel_listed, n_sph=n_sph,
+                             n_box=n_box, n_tri=n_tri, n_rays=n_rays)
+    t, pid = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(nl.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ids.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sph.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(box.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nl, ids, cnt, org, dir, sph, box, tri)
+    return t[:, 0], pid[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
@@ -587,7 +667,8 @@ def nearest_hit_pallas_scalar(scene: Scene, org: Array, dir: Array,
 def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                        interpret: bool | None = None,
                        n_live: Array | None = None,
-                       tile_bounds: Array | None = None
+                       tile_bounds: Array | None = None,
+                       tile_ids=None
                        ) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
 
@@ -599,6 +680,14 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     computes real results for its rows past n_live, so callers must mask
     rows >= n_live themselves (as render_tiled._rescue_round does via its
     ``working`` mask).
+
+    ``tile_ids = (ids [B, T] i32, cnt [B] i32)`` switches the SPHERE scan
+    to the LISTED variant: ray block b streams only its selected 128-sphere
+    tiles ``ids[b, :cnt[b]]`` (XLA-side cone selection,
+    render_tiled._block_tile_select) — callers must pass spheres in the
+    same Morton-tile order the ids index and the selection must be
+    conservative (a missed tile is an exactness bug, not a perf bug).
+    Boxes/triangles stream dense. B must equal ceil(N / BLOCK_R).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -630,6 +719,15 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
     nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
           else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
+    if tile_ids is not None:
+        ids, cnt = tile_ids
+        assert ids.shape[0] * BLOCK_R >= n, (ids.shape, n)
+        t, pid = _nearest_hit_call_listed(nl, ids.astype(jnp.int32),
+                                          jnp.reshape(cnt, (-1, 1)).astype(
+                                              jnp.int32),
+                                          org, dir, sph, box, tri, meta,
+                                          interpret=interpret)
+        return t[:n], pid[:n]
     if tile_bounds is not None:
         # per-sphere-tile bounds [T, 4] (cx, cy, cz, r) enable the block
         # cone cull; caller must pass spheres in Morton-tight tile order

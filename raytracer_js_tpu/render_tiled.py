@@ -221,13 +221,74 @@ def _respawn_glue(scene: Scene, accel, seed, rid, bounce, refr,
 #: them without losing their ALIVE-ness (mapped back after each round)
 _CAP = 7
 
-#: opt-in: the sweep kernel's block-cone tile cull (Morton-permuted
-#: prims + per-tile bounds + a scalar cone predicate per 128-sphere tile).
-#: Measured r3 at config 4 and REJECTED as the default: even with
-#: (cell, direction)-coherent blocks the per-tile lax.cond chain breaks
-#: Mosaic's tile streaming pipeline (0.934 s plain vs 1.151 s culled);
-#: kept behind RT_SWEEP_CULL=1 for scenes with higher cull rates
+#: opt-in: the sweep kernel's IN-KERNEL block-cone tile cull (a scalar
+#: cone predicate per 128-sphere tile). Measured r3 at config 4 and
+#: REJECTED as the default: even with (cell, direction)-coherent blocks
+#: the per-tile lax.cond chain breaks Mosaic's tile streaming pipeline
+#: (0.934 s plain vs 1.151 s culled); kept behind RT_SWEEP_CULL=1
 SWEEP_CULL = __import__("os").environ.get("RT_SWEEP_CULL", "0") == "1"
+
+#: r4 default: the LISTED sweep cull — the same conservative block-cone
+#: predicate evaluated in XLA over [B blocks x T tiles] (a trivial batched
+#: op), emitting per-block tile-id lists the kernel streams WITHOUT any
+#: per-tile cond (kernels/nearest_hit tile_ids=). This keeps Mosaic's
+#: pipelining (the r3 in-kernel cull's failure mode) while skipping the
+#: same tiles. RT_SWEEP_LISTED=0 opts out.
+SWEEP_LISTED = __import__("os").environ.get("RT_SWEEP_LISTED", "1") == "1"
+
+
+def _block_tile_select(org: Array, dirs: Array, working: Array, tb: Array):
+    """Per-ray-block conservative sphere-tile selection for the listed
+    sweep kernel -> (ids [B, T] i32 included-first, cnt [B] i32).
+
+    Blocks are consecutive BLOCK_R-ray runs of the (cell, direction)-sorted
+    compacted slice; each gets an apex ball (o0, ro) over its WORKING rays
+    plus a direction cone (axis = mean dir, cos_t = worst alignment), and a
+    Morton sphere tile is included iff the ball-cone can reach its bounding
+    sphere — the same conservative identity as accel/candidates
+    .cone_include_np, so the cull is EXACT (a prim outside the cone cannot
+    be hit by any working ray of the block at any t >= 0). Dead rows are
+    excluded from the statistics (a padded direction would collapse cos_t).
+    """
+    from .kernels.nearest_hit import BLOCK_R
+
+    n = org.shape[0]
+    assert n % BLOCK_R == 0, (n, BLOCK_R)
+    nb = n // BLOCK_R
+    o = org.reshape(nb, BLOCK_R, 3)
+    d = dirs.reshape(nb, BLOCK_R, 3)
+    m = working.reshape(nb, BLOCK_R, 1).astype(org.dtype)
+    cnt_live = jnp.maximum(m.sum(axis=1), 1.0)              # [B, 1]
+    o0 = (o * m).sum(axis=1) / cnt_live                     # [B, 3]
+    ro = jnp.sqrt(jnp.max(((o - o0[:, None]) ** 2).sum(-1) * m[..., 0],
+                          axis=1))                          # [B]
+    ax = (d * m).sum(axis=1)
+    ax = ax / jnp.maximum(
+        jnp.linalg.norm(ax, axis=-1, keepdims=True), 1e-20)
+    d_n = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                          1e-20)
+    cos_t = jnp.min(jnp.where(m[..., 0] > 0,
+                              (d_n * ax[:, None]).sum(-1), 1.0), axis=1)
+    use_cone = cos_t >= 0.25
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t ** 2, 0.0))
+    v = tb[None, :, :3] - o0[:, None, :]                    # [B, T, 3]
+    dist = jnp.linalg.norm(v, axis=-1)
+    rr = tb[None, :, 3] + ro[:, None]
+    inside = dist <= rr * (1.0 + 1e-5) + 1e-7
+    sin_a = jnp.minimum(rr / jnp.maximum(dist, 1e-20), 1.0)
+    cos_a = jnp.sqrt(jnp.maximum(1.0 - sin_a ** 2, 0.0))
+    cos_b = (v * ax[:, None]).sum(-1) / jnp.maximum(dist, 1e-20)
+    include = (inside
+               | (cos_b >= cos_a * cos_t[:, None]
+                  - sin_a * sin_t[:, None] - 1e-5)
+               | ~use_cone[:, None])
+    t_tiles = tb.shape[0]
+    iota = jnp.arange(t_tiles, dtype=jnp.int32)[None, :]
+    key = jnp.where(include, iota, t_tiles + iota)
+    ids = jnp.sort(key, axis=1)                  # included ids first
+    ids = jnp.where(ids < t_tiles, ids, 0)
+    cnt = include.sum(axis=1).astype(jnp.int32)
+    return ids, cnt
 
 
 def _sweep_perm(scene: Scene):
@@ -568,17 +629,22 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
         # every block past them — rescue cost ~ straggler count, not cap
         n_work = jnp.sum(working.astype(jnp.int32))
         nl = jnp.minimum(n_work, cap)
+        work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
+            bounce_s[:cap] < cfg.refmax)
         if sweep_tab is not None:
             scene_s, perm_s, tb = sweep_tab
-            _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
-                                         tile_bounds=tb)
+            if SWEEP_LISTED:
+                ids, cnt = _block_tile_select(org, dirs, work_sl, tb)
+                _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
+                                             tile_ids=(ids, cnt))
+            else:
+                _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
+                                             tile_bounds=tb)
             pid = jnp.where(
                 (pid >= 0) & (pid < scene.n_spheres),
                 perm_s[jnp.clip(pid, 0, max(scene.n_spheres - 1, 0))], pid)
         else:
             _t, pid = nearest_hit_pallas(scene, org, dirs, n_live=nl)
-        work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
-            bounce_s[:cap] < cfg.refmax)
         pid = jnp.where(work_sl, pid, -1)
         st = RayState(org=org, dir=dirs,
                       color=jnp.stack(sl[6:9], -1),
@@ -766,7 +832,8 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                 i, cols, bounce, refr, _rec = state
                 return (i < sw_rounds) & any_working(cols, bounce)
 
-            sweep_tab = _sweep_perm(scene) if SWEEP_CULL else None
+            sweep_tab = (_sweep_perm(scene)
+                         if (SWEEP_LISTED or SWEEP_CULL) else None)
 
             def sw_body(state):
                 i, cols, bounce, refr, rec = state

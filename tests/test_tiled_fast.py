@@ -134,3 +134,30 @@ def test_tiled_skybox_and_bilinear(monkeypatch):
     want = np.asarray(render_hdr(scene, cam, cfg))
     got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
     _check(got, diag, want)
+
+
+def test_tiled_sweep_listed_cull_many_spheres():
+    """The r4 LISTED sweep cull (XLA block-cone tile selection + the
+    tile_ids kernel path): active once the scene has >= 4*BLOCK_K Morton
+    spheres; winners map back to global ids and parity with BRUTE holds."""
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    rng = np.random.default_rng(11)
+    pal = [b.add_solid_texture(rng.uniform(0.2, 1.0, 3)) for _ in range(6)]
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse, pal[0])
+    for i in range(700):
+        c = rng.uniform([2.0, -4.0, -0.5], [10.0, 4.0, 4.0], 3)
+        b.add_sphere(c, float(rng.uniform(0.05, 0.2)),
+                     mirror if i % 3 == 0 else diffuse, pal[i % 6])
+    scene = b.build()
+    w, h = tt.LANE, tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    import raytracer_js_tpu.render_tiled as rtl
+
+    assert rtl.SWEEP_LISTED     # the default path under test
+    got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
+    _check(got, diag, want)
