@@ -108,6 +108,9 @@ def _nearest_hit_kernel_listed(nl_ref, ids_ref, cnt_ref, org_ref, dir_ref,
                                *, n_sph, n_box, n_tri, n_rays):
     i = pl.program_id(0)
     r0 = t_ref.shape[0]
+    # ids/cnt ride 8-row SMEM windows (Mosaic requires block sublane dims
+    # divisible by 8); this program's row within its window is i % 8
+    ids_row = i % 8
 
     @pl.when(i * r0 >= nl_ref[0, 0])
     def _dead_block():
@@ -119,13 +122,13 @@ def _nearest_hit_kernel_listed(nl_ref, ids_ref, cnt_ref, org_ref, dir_ref,
         _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                            t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
                            n_tri=n_tri, n_rays=n_rays, ids_ref=ids_ref,
-                           cnt_ref=cnt_ref)
+                           cnt_ref=cnt_ref, ids_row=ids_row)
 
 
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
                        tb_ref=None, nl_ref=None, ids_ref=None,
-                       cnt_ref=None):
+                       cnt_ref=None, ids_row=0):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -219,9 +222,10 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         # the stream, so Mosaic pipelines the loads (the in-kernel cond
         # cull measured SLOWER than dense at config-4: 1.15 s vs 0.93 s)
         def sphere_listed(j, best):
-            return sphere_math(ids_ref[0, j] * BLOCK_K, best)
+            return sphere_math(ids_ref[ids_row, j] * BLOCK_K, best)
 
-        best = jax.lax.fori_loop(0, cnt_ref[0, 0], sphere_listed, best)
+        best = jax.lax.fori_loop(0, cnt_ref[ids_row, 0], sphere_listed,
+                                 best)
     elif tb_ref is None:
         best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
                                  sphere_tile_body, best)
@@ -333,9 +337,9 @@ def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
         in_specs=[
             pl.BlockSpec(nl.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ids.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((8, ids.shape[1]), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -722,10 +726,14 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     if tile_ids is not None:
         ids, cnt = tile_ids
         assert ids.shape[0] * BLOCK_R >= n, (ids.shape, n)
-        t, pid = _nearest_hit_call_listed(nl, ids.astype(jnp.int32),
-                                          jnp.reshape(cnt, (-1, 1)).astype(
-                                              jnp.int32),
-                                          org, dir, sph, box, tri, meta,
+        ids = ids.astype(jnp.int32)
+        cnt = jnp.reshape(cnt, (-1, 1)).astype(jnp.int32)
+        rpad = -(-ids.shape[0] // 8) * 8 - ids.shape[0]
+        if rpad:
+            ids = jnp.pad(ids, ((0, rpad), (0, 0)))
+            cnt = jnp.pad(cnt, ((0, rpad), (0, 0)))
+        t, pid = _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph,
+                                          box, tri, meta,
                                           interpret=interpret)
         return t[:n], pid[:n]
     if tile_bounds is not None:
