@@ -16,8 +16,9 @@ Config modes (BASELINE.md "Benchmark configs"):
        outside the fused-kernel class)
     4: 1080p, 100k primitives, full reflection path, depth-8 octree
     5: 8-view batch inverse-rendering step at the STATED shape (1080p x
-       8 views, 1M primitives): OCTREE record + path-replay gradients,
-       processed in --c5-slices ray slices per view
+       8 views, 1M primitives): TILED-forward recording (with_record) +
+       path-replay gradients in --c5-slices ray slices per view
+       (--c5-record octree keeps the r3 OCTREE-DDA recording)
 """
 from __future__ import annotations
 
