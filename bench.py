@@ -396,8 +396,14 @@ def run_config5(args):
 
         # each view is processed in --c5-slices ray slices: one 2M-ray x
         # 1M-prim DDA record crashes the TPU worker (r3: reproducible
-        # between 262k and 522k rays); production would tile identically,
-        # and rid offsets keep the RNG streams global either way
+        # between 262k and 522k rays — tools/repro_record_crash.py);
+        # production would tile identically, and rid offsets keep the RNG
+        # streams global either way
+        if ns > 262_144:
+            print(f"warning: octree record slices of {ns} rays exceed the "
+                  "largest known-good 262144 (see "
+                  "tools/repro_record_crash.py); raise --c5-slices",
+                  file=sys.stderr)
         def record_slice(params, org, dirs, rid):
             sc = rebuild(params)
             refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (ns,))

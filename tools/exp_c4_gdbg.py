@@ -70,7 +70,7 @@ def main():
                   & (bounce >= cfg.refmax))
         cols = list(cols)
         cols[10] = jnp.where(capped, _CAP, status_f).reshape(rows, tt.LANE)
-        cols, t_done, res_hit, refr = rtl.packet_bounce(
+        cols, t_done, res_hit, refr, _pid = rtl.packet_bounce(
             scene, cols, 4096, t_done, rng=None, accel=None,
             wave_sub=tt.WAVE_SUB, fine_key=fine, grid=grid)
         status_o = cols[10].reshape(-1)
@@ -139,7 +139,7 @@ def main():
     seed = rid = None
     for r in range(args.rescues):
         t0 = time.perf_counter()
-        cols, bounce, refr = rtl._rescue_round(scene, cfg, cols, bounce,
+        cols, bounce, refr, _rec = rtl._rescue_round(scene, cfg, cols, bounce,
                                                refr, seed, rid)
         w = working_count(cols, bounce)
         print(f"rescue {r}: working {w}  ({time.perf_counter()-t0:.2f}s)",
