@@ -362,6 +362,11 @@ def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
+        # the resident prim table alone is 16 MB at 1M spheres ([4, 1M]
+        # f32) — past Mosaic's default 16 MB scoped-VMEM limit (physical
+        # VMEM is far larger); same raise as trace_tiled._wave_call
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nl, ids, cnt, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
@@ -401,6 +406,11 @@ def _nearest_hit_call(nl, org, dir, sph, box, tri, meta, interpret=False):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
+        # the resident prim table alone is 16 MB at 1M spheres ([4, 1M]
+        # f32) — past Mosaic's default 16 MB scoped-VMEM limit (physical
+        # VMEM is far larger); same raise as trace_tiled._wave_call
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nl, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
@@ -443,6 +453,11 @@ def _nearest_hit_call_culled(nl, tb, org, dir, sph, box, tri, meta,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
+        # the resident prim table alone is 16 MB at 1M spheres ([4, 1M]
+        # f32) — past Mosaic's default 16 MB scoped-VMEM limit (physical
+        # VMEM is far larger); same raise as trace_tiled._wave_call
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nl, tb, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
