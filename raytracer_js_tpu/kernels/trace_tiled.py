@@ -587,12 +587,17 @@ def _frame_call(cam_arr, cnts, tab, nby, nbx, c_max, want_uv, sky_solid,
     i32 = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)
     n_out = 18 if want_normal else 15
     shapes = [f32] * 10 + [i32, f32, i32, f32, f32] + [f32] * (n_out - 15)
+    # 1M-prim frames carry ~49k-candidate tile blocks (~4 MB each, double
+    # buffered) — past Mosaic's default 16 MB scoped-VMEM stack; same
+    # raise as _wave_call
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kern,
         grid=(nby, nbx),
         in_specs=[cam_spec, cnt_spec, tab_spec],
         out_specs=[tile] * n_out,
         out_shape=shapes,
+        compiler_params=params,
         interpret=interpret,
     )(cam_arr, cnts, tab)
 

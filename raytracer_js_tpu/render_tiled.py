@@ -842,7 +842,7 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                     accel=accel, cap=sw_cap, sweep_tab=sweep_tab, rec=rec)
                 return i + 1, cols, bounce, refr, rec
 
-            _, cols, bounce, refr, rec = jax.lax.while_loop(
+            it, cols, bounce, refr, rec = jax.lax.while_loop(
                 sw_cond, sw_body,
                 (jnp.zeros((), jnp.int32), cols, bounce, refr, rec))
             unresolved = jnp.sum(
@@ -854,7 +854,7 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                                       float(cfg.distance_attenuation_factor))
             img = jnp.stack([cr, cg, cb], axis=-1)[:cam.h, :cam.w]
             return _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg,
-                             with_diag, with_record)
+                             with_diag, with_record, rounds=it)
 
         c_round = min(packet_c_max, ESC_MAX)
 
@@ -945,11 +945,14 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
 
 
 def _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg, with_diag,
-              with_record):
+              with_record, rounds=None):
     """Assemble render_frame_tiled's return tuple (img | +diag | +rec)."""
     outs = (img,)
     if with_diag:
-        outs = outs + ({"unresolved": unresolved},)
+        diag = {"unresolved": unresolved}
+        if rounds is not None:
+            diag["rounds"] = rounds
+        outs = outs + (diag,)
     if with_record:
         rec = rec.reshape(hp, wp, cfg.refmax)[:cam.h, :cam.w]
         outs = outs + (rec.reshape(-1, cfg.refmax),)
