@@ -32,8 +32,10 @@ from ..models.scene import Scene
 Array = jnp.ndarray
 
 #: rays per program (sublane dim, multiple of 8). Large R amortizes the
-#: per-program prim streaming; [R, K] f32 temps at 512x128 are 256 KB.
-BLOCK_R = 512
+#: per-program prim streaming, but [R, K] temps at 512x128 are 64 vregs
+#: each — far past the register file, so every elementwise op round-trips
+#: VMEM. Env-tunable for experiments (tools/exp_nh_blockr.py).
+BLOCK_R = int(__import__("os").environ.get("RT_NH_BLOCK_R", "512"))
 #: primitives per streamed tile (lane dim). 128 = the minimum lane tile:
 #: measured on-chip, a 512-lane tile wastes ~90% of VPU lanes on 50-prim
 #: scenes (69 ms vs XLA brute's 34 ms); prim-count padding is per 128.
