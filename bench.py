@@ -347,31 +347,37 @@ def run_config5(args):
         from raytracer_js_tpu.kernels import trace_tiled as tt
         from raytracer_js_tpu.render_tiled import render_frame_tiled
 
+        import raytracer_js_tpu.render_tiled as rtl
+
         cfg_t = RenderConfig(refmax=2, backend=HitBackend.TILED)
+        # record frames in SWEEP mode even at 1M prims: the whole-table
+        # kernel rounds (VMEM-legal since the scoped-limit raise) measured
+        # far cheaper than the packet-round machinery at this scale
+        # (r4: packet recording was ~100 s/view)
+        rtl.SWEEP_MAX_PRIMS = max(rtl.SWEEP_MAX_PRIMS, scene.n_prims)
         t0 = time.perf_counter()
         grid = cand.build_cell_grid(scene, c_sel=4096)
-        # one view's candidate table at 1M prims is ~1.3 GB — keep every
-        # view HOST-side (numpy) immediately and bucket-pad c_max to a
-        # multiple of 8192 so (a) all 8 device tables never coexist
-        # (r4: holding all 8 OOM'd the 16 GB chip during setup) and
-        # (b) views in one bucket share one jit
+        # ship only (pid, t_lo) lists per view — the packed 20-attr tables
+        # are 1.6 GB/view and the device tunnel moves ~20 MB/s (r4: they
+        # dominated setup+record); rows are gathered ON DEVICE from
+        # prim_attr_table_jnp inside rec_fn
         tabs = []
         c_bkt = 8192
         for c in cams:
-            tab, cnts, c_raw = cand.frame_candidates(scene, c, tt.TILE_SUB,
-                                                     tt.LANE)
+            pid_t, tlo_t, cnts, c_raw = cand.frame_candidates(
+                scene, c, tt.TILE_SUB, tt.LANE, raw=True)
             c_pad = -(-c_raw // c_bkt) * c_bkt
-            nt = cnts.shape[0]
-            t = np.asarray(tab).reshape(nt, c_raw, -1)
-            del tab
-            t = np.pad(t, ((0, 0), (0, c_pad - c_raw), (0, 0)),
-                       constant_values=np.inf)
-            tabs.append((t.reshape(nt * c_pad, -1), np.asarray(cnts),
-                         c_pad))
+            pid_t = np.pad(pid_t, ((0, 0), (0, c_pad - c_raw)),
+                           constant_values=-1)
+            tlo_t = np.pad(tlo_t, ((0, 0), (0, c_pad - c_raw)),
+                           constant_values=np.inf)
+            tabs.append((pid_t, tlo_t, np.asarray(cnts), c_pad))
         setup_s = time.perf_counter() - t0
 
         @functools.partial(jax.jit, static_argnames=("c_max",))
-        def rec_fn(sc, cam, tab, cnts, grid_, c_max):
+        def rec_fn(sc, cam, pid_t, tlo_t, cnts, grid_, c_max):
+            tab = cand.pack_candidate_attrs_jnp(
+                sc, pid_t.reshape(-1), tlo_t.reshape(-1))
             return render_frame_tiled(sc, cfg_t, cam,
                                       tables=(tab, cnts, c_max, grid_),
                                       with_record=True)[1]
@@ -380,8 +386,9 @@ def run_config5(args):
             sc = rebuild(params)
             out = []
             for v in range(views):
-                tab, cnts, c_pad = tabs[v]
-                rec = rec_fn(sc, cams[v], tab, cnts, grid, c_max=c_pad)
+                pid_t, tlo_t, cnts, c_pad = tabs[v]
+                rec = rec_fn(sc, cams[v], pid_t, tlo_t, cnts, grid,
+                             c_max=c_pad)
                 out.extend(rec[s * ns:(s + 1) * ns]
                            for s in range(n_slc))
             return out

@@ -215,7 +215,7 @@ def _segment_sort_np(scene: Scene, ids: np.ndarray, t_lo: np.ndarray):
 
 
 def frame_candidates(scene: Scene, cam, sub: int, lane: int,
-                     c_max: int | None = None):
+                     c_max: int | None = None, raw: bool = False):
     """Host-side per-tile candidate tables for the frame entry.
 
     Tiles are (sub, lane) pixel blocks of the equiangular image (the tiled
@@ -302,11 +302,18 @@ def frame_candidates(scene: Scene, cam, sub: int, lane: int,
     for i, (l, tl) in enumerate(zip(lists, tlos)):
         pid[i, :len(l)] = l
         tlo[i, :len(l)] = tl
-    tab = pack_candidate_attrs_np(scene, pid.reshape(-1), tlo.reshape(-1))
     cnt8 = np.zeros((t, 8), np.float32)
     cnt8[:, :3] = np.stack(cnts)           # exact below 2^24
     cnt8[:, 3] = np.inf                    # untruncated: always resolved
     cnt8[:, 4:7] = pos                     # centroid = camera (d_c = 0)
+    if raw:
+        # host-side (pid, t_lo) lists only — 20x smaller than the packed
+        # attr table; callers gather the rows ON DEVICE from
+        # prim_attr_table_jnp via pack_candidate_attrs_jnp (the r4
+        # config-5 fix: shipping 8 x 1.6 GB packed tables through the
+        # ~20 MB/s device tunnel dominated setup+record time)
+        return (pid.astype(np.int32), tlo, cnt8, c_max)
+    tab = pack_candidate_attrs_np(scene, pid.reshape(-1), tlo.reshape(-1))
     return jnp.asarray(tab), jnp.asarray(cnt8), c_max
 
 

@@ -105,12 +105,18 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
                            nl_ref=nl_ref)
 
 
-def _nearest_hit_kernel_listed(nl_ref, ids_ref, cnt_ref, org_ref, dir_ref,
-                               sph_ref, box_ref, tri_ref, t_ref, pid_ref,
-                               *, n_sph, n_box, n_tri, n_rays):
+#: listed-kernel chunk: tiles streamed between early-exit checks (the
+#: per-chunk scalar branch amortizes to 1/CHUNK_T per tile — a per-tile
+#: cond chain was the r3 SWEEP_CULL failure mode)
+CHUNK_T = 4
+
+
+def _nearest_hit_kernel_listed(nl_ref, bbox_ref, ids_ref, tlo_ref, org_ref,
+                               dir_ref, sph_ref, box_ref, tri_ref, t_ref,
+                               pid_ref, *, n_sph, n_box, n_tri, n_rays):
     i = pl.program_id(0)
     r0 = t_ref.shape[0]
-    # ids/cnt ride 8-row SMEM windows (Mosaic requires block sublane dims
+    # ids/tlo ride 8-row SMEM windows (Mosaic requires block sublane dims
     # divisible by 8); this program's row within its window is i % 8
     ids_row = i % 8
 
@@ -124,13 +130,14 @@ def _nearest_hit_kernel_listed(nl_ref, ids_ref, cnt_ref, org_ref, dir_ref,
         _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                            t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
                            n_tri=n_tri, n_rays=n_rays, ids_ref=ids_ref,
-                           cnt_ref=cnt_ref, ids_row=ids_row)
+                           tlo_ref=tlo_ref, bbox_ref=bbox_ref,
+                           ids_row=ids_row)
 
 
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
                        tb_ref=None, nl_ref=None, ids_ref=None,
-                       cnt_ref=None, ids_row=0):
+                       tlo_ref=None, bbox_ref=None, ids_row=0):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -219,15 +226,48 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         return sphere_math(k * BLOCK_K, best)
 
     if ids_ref is not None:
-        # LISTED variant: stream exactly the tiles the XLA-side block cone
-        # selected (render_tiled._block_tile_select) — no per-tile cond in
-        # the stream, so Mosaic pipelines the loads (the in-kernel cond
-        # cull measured SLOWER than dense at config-4: 1.15 s vs 0.93 s)
-        def sphere_listed(j, best):
-            return sphere_math(ids_ref[ids_row, j] * BLOCK_K, best)
+        # LISTED variant with NEAR-TO-FAR EARLY EXIT: stream the tiles the
+        # XLA-side block cone selected (render_tiled._block_tile_select),
+        # sorted ascending by their conservative entry distance t_lo, and
+        # stop as soon as every ray's capped best-hit precedes the next
+        # tile: t_lo(tile) lower-bounds any block ray's hit against the
+        # tile's prims (apex-ball inflation), and each ray's exit bound is
+        # min(t_best, scene-bbox exit) — the bbox cap is what lets blocks
+        # containing MISS rays (t_best = inf) terminate (the r3 bounce-0
+        # lesson). Excluded/past-the-end slots carry t_lo = +inf, so the
+        # count is implicit. CHUNK_T tiles run unconditioned between
+        # checks (a per-tile cond chain stalls Mosaic streaming).
+        lo_x, lo_y, lo_z = bbox_ref[0, 0], bbox_ref[0, 1], bbox_ref[0, 2]
+        hi_x, hi_y, hi_z = bbox_ref[0, 3], bbox_ref[0, 4], bbox_ref[0, 5]
 
-        best = jax.lax.fori_loop(0, cnt_ref[ids_row, 0], sphere_listed,
-                                 best)
+        def exit_axis(o, inv, lo, hi):
+            ta = (lo - o) * inv
+            tb = (hi - o) * inv
+            return jnp.maximum(ta, tb)
+
+        t_exit = jnp.minimum(
+            jnp.minimum(exit_axis(ox, ix, lo_x, hi_x),
+                        exit_axis(oy, iy, lo_y, hi_y)),
+            exit_axis(oz, iz, lo_z, hi_z))                   # [R, 1]
+        t_cap = jnp.maximum(t_exit, 0.0) * (1.0 + 1e-4) + 1e-3
+
+        t_pad = tlo_ref.shape[1]
+
+        def chunk_cond(carry):
+            j, t_best, _pid = carry
+            t_hi = jnp.max(jnp.minimum(t_best, t_cap))
+            return (j < t_pad) & (tlo_ref[ids_row, j] <= t_hi)
+
+        def chunk_body(carry):
+            j, t_best, pid_best = carry
+            best = (t_best, pid_best)
+            for k in range(CHUNK_T):
+                best = sphere_math(ids_ref[ids_row, j + k] * BLOCK_K, best)
+            return j + CHUNK_T, best[0], best[1]
+
+        _, t_best, pid_best = jax.lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), best[0], best[1]))
+        best = (t_best, pid_best)
     elif tb_ref is None:
         best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
                                  sphere_tile_body, best)
@@ -326,8 +366,8 @@ def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
-                             interpret=False):
+def _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir, sph, box, tri,
+                             meta, interpret=False):
     n_sph, n_box, n_tri, n_rays = meta
     n_pad = org.shape[0]
     grid = (n_pad // BLOCK_R,)
@@ -339,9 +379,11 @@ def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
         in_specs=[
             pl.BlockSpec(nl.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(bbox.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, ids.shape[1]), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 1), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, tlo.shape[1]), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -370,7 +412,7 @@ def _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph, box, tri, meta,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(nl, ids, cnt, org, dir, sph, box, tri)
+    )(nl, bbox, ids, tlo, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
 
 
@@ -702,12 +744,15 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     rows >= n_live themselves (as render_tiled._rescue_round does via its
     ``working`` mask).
 
-    ``tile_ids = (ids [B, T] i32, cnt [B] i32)`` switches the SPHERE scan
-    to the LISTED variant: ray block b streams only its selected 128-sphere
-    tiles ``ids[b, :cnt[b]]`` (XLA-side cone selection,
-    render_tiled._block_tile_select) — callers must pass spheres in the
-    same Morton-tile order the ids index and the selection must be
-    conservative (a missed tile is an exactness bug, not a perf bug).
+    ``tile_ids = (ids [B, T] i32, tlo [B, T] f32)`` switches the SPHERE
+    scan to the LISTED variant with near-to-far early exit: ray block b
+    streams its selected 128-sphere tiles ``ids[b]`` in ascending
+    ``tlo[b]`` order (XLA-side cone selection + sort,
+    render_tiled._block_tile_select; excluded slots carry tlo = +inf) and
+    stops once every ray's bbox-capped best hit precedes the next tile.
+    Callers must pass spheres in the same Morton-tile order the ids index
+    and the selection + t_lo must be conservative (a missed tile or an
+    over-estimated t_lo is an exactness bug, not a perf bug).
     Boxes/triangles stream dense. B must equal ceil(N / BLOCK_R).
     """
     if interpret is None:
@@ -741,16 +786,31 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
           else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
     if tile_ids is not None:
-        ids, cnt = tile_ids
+        ids, tlo = tile_ids
         assert ids.shape[0] * BLOCK_R >= n, (ids.shape, n)
         ids = ids.astype(jnp.int32)
-        cnt = jnp.reshape(cnt, (-1, 1)).astype(jnp.int32)
+        tlo = tlo.astype(jnp.float32)
         rpad = -(-ids.shape[0] // 8) * 8 - ids.shape[0]
         if rpad:
             ids = jnp.pad(ids, ((0, rpad), (0, 0)))
-            cnt = jnp.pad(cnt, ((0, rpad), (0, 0)))
-        t, pid = _nearest_hit_call_listed(nl, ids, cnt, org, dir, sph,
-                                          box, tri, meta,
+            tlo = jnp.pad(tlo, ((0, rpad), (0, 0)),
+                          constant_values=jnp.inf)
+        cpad = -(-ids.shape[1] // CHUNK_T) * CHUNK_T - ids.shape[1]
+        if cpad:
+            ids = jnp.pad(ids, ((0, 0), (0, cpad)))
+            tlo = jnp.pad(tlo, ((0, 0), (0, cpad)),
+                          constant_values=jnp.inf)
+        # per-ray early-exit cap: the scene-bbox exit (any hit point lies
+        # inside the union of prim AABBs, so no prim can beat a ray's
+        # bbox-exit param — what lets MISS rays terminate the stream)
+        from ..models.scene import prim_aabbs
+
+        lo, hi = prim_aabbs(scene)
+        bbox = jnp.concatenate(
+            [jnp.min(lo, axis=0), jnp.max(hi, axis=0),
+             jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
+        t, pid = _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir,
+                                          sph, box, tri, meta,
                                           interpret=interpret)
         return t[:n], pid[:n]
     if tile_bounds is not None:

@@ -239,7 +239,8 @@ SWEEP_LISTED = __import__("os").environ.get("RT_SWEEP_LISTED", "1") == "1"
 
 def _block_tile_select(org: Array, dirs: Array, working: Array, tb: Array):
     """Per-ray-block conservative sphere-tile selection for the listed
-    sweep kernel -> (ids [B, T] i32 included-first, cnt [B] i32).
+    sweep kernel -> (ids [B, T] i32 in ascending-t_lo order,
+    tlo [B, T] f32 with +inf on excluded slots).
 
     Blocks are consecutive BLOCK_R-ray runs of the (cell, direction)-sorted
     compacted slice; each gets an apex ball (o0, ro) over its WORKING rays
@@ -282,13 +283,18 @@ def _block_tile_select(org: Array, dirs: Array, working: Array, tb: Array):
                | (cos_b >= cos_a * cos_t[:, None]
                   - sin_a * sin_t[:, None] - 1e-5)
                | ~use_cone[:, None])
+    # conservative per-(block, tile) entry distance: any block ray's hit
+    # against the tile's prims is >= max(0, |c - o0| - r_tile - ro); the
+    # kernel streams tiles in ascending t_lo and EARLY-EXITS, so the sort
+    # key is the t_lo itself (excluded tiles -> +inf slots)
+    t_lo = jnp.where(include, jnp.maximum(dist - rr, 0.0), jnp.inf)
     t_tiles = tb.shape[0]
-    iota = jnp.arange(t_tiles, dtype=jnp.int32)[None, :]
-    key = jnp.where(include, iota, t_tiles + iota)
-    ids = jnp.sort(key, axis=1)                  # included ids first
-    ids = jnp.where(ids < t_tiles, ids, 0)
-    cnt = include.sum(axis=1).astype(jnp.int32)
-    return ids, cnt
+    order = jnp.argsort(t_lo, axis=1)
+    ids = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(t_tiles, dtype=jnp.int32)[None, :],
+                         t_lo.shape), order, axis=1)
+    tlo_sorted = jnp.take_along_axis(t_lo, order, axis=1)
+    return ids, tlo_sorted
 
 
 def _sweep_perm(scene: Scene):
@@ -633,10 +639,12 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
             bounce_s[:cap] < cfg.refmax)
         if sweep_tab is not None:
             scene_s, perm_s, tb = sweep_tab
-            if SWEEP_LISTED:
-                ids, cnt = _block_tile_select(org, dirs, work_sl, tb)
+            # listed cull needs an [8, T] i32 SMEM window per program;
+            # past ~4096 tiles (128 KB) fall back to the dense stream
+            if SWEEP_LISTED and tb.shape[0] <= 2048:
+                ids, tlo = _block_tile_select(org, dirs, work_sl, tb)
                 _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
-                                             tile_ids=(ids, cnt))
+                                             tile_ids=(ids, tlo))
             else:
                 _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
                                              tile_bounds=tb)

@@ -68,10 +68,8 @@ def main():
     dt, _ = _time_sustained(fn, scene, burst=16)
     results["full"] = dt
 
-    cfg_b = RenderConfig(refmax=3, backend=HitBackend.BRUTE)
-    fnb = jax.jit(lambda s: render_hdr(s, cam, cfg_b))
-    dt, _ = _time_sustained(fnb, scene, burst=16)
-    results["brute"] = dt
+    # (BRUTE dropped: the dense tri test materializes [262k, 5.1k]
+    # cross-product temps — 35 GB HBM, measured OOM)
 
     kfn = jax.jit(lambda s: nearest_hit_pallas(s, org, dirs))
     dt, _ = _time_sustained(kfn, scene, burst=16)

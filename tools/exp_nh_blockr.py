@@ -48,17 +48,17 @@ def main():
     dt, _ = _time_sustained(lambda a: k_dense(*a), (orgs, dirss), burst=16)
     out["kernel_dense_ms"] = dt * 1e3
     sel = jax.jit(lambda o, d, w: rtl._block_tile_select(o, d, w, tb))
-    ids, cnt = sel(orgs, dirss, wks)
+    ids, tlo = sel(orgs, dirss, wks)
     dt, _ = _time_sustained(lambda a: sel(*a), (orgs, dirss, wks), burst=16)
     out["select_ms"] = dt * 1e3
-    cnt_np = np.asarray(cnt)
+    cnt_np = np.isfinite(np.asarray(tlo)).sum(1)
     lv = np.asarray(wks).reshape(-1, BLOCK_R).sum(1) > 0
     out["mean_cnt_live"] = float(cnt_np[lv].mean())
     out["tiles"] = int(tb.shape[0])
     k_listed = jax.jit(lambda o, d, i, c: nearest_hit_pallas(
         scene_p, o, d, n_live=nl, tile_ids=(i, c)))
     dt, _ = _time_sustained(lambda a: k_listed(*a),
-                            (orgs, dirss, ids, cnt), burst=16)
+                            (orgs, dirss, ids, tlo), burst=16)
     out["kernel_listed_ms"] = dt * 1e3
     print(json.dumps(out), flush=True)
 
