@@ -111,9 +111,19 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
 CHUNK_T = 4
 
 
-def _nearest_hit_kernel_listed(nl_ref, bbox_ref, ids_ref, tlo_ref, org_ref,
-                               dir_ref, sph_ref, box_ref, tri_ref, t_ref,
-                               pid_ref, *, n_sph, n_box, n_tri, n_rays):
+def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
+                               n_tri, n_rays, sph_listed, tri_listed):
+    # refs layout: [ids_s, tlo_s]? + [ids_t, tlo_t]? + org, dir, sph, box,
+    # tri, t_out, pid_out — presence of the list pairs is static
+    k = 0
+    ids_ref = tlo_ref = ids_t_ref = tlo_t_ref = None
+    if sph_listed:
+        ids_ref, tlo_ref = refs[k], refs[k + 1]
+        k += 2
+    if tri_listed:
+        ids_t_ref, tlo_t_ref = refs[k], refs[k + 1]
+        k += 2
+    org_ref, dir_ref, sph_ref, box_ref, tri_ref, t_ref, pid_ref = refs[k:]
     i = pl.program_id(0)
     r0 = t_ref.shape[0]
     # ids/tlo ride 8-row SMEM windows (Mosaic requires block sublane dims
@@ -130,14 +140,16 @@ def _nearest_hit_kernel_listed(nl_ref, bbox_ref, ids_ref, tlo_ref, org_ref,
         _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                            t_ref, pid_ref, n_sph=n_sph, n_box=n_box,
                            n_tri=n_tri, n_rays=n_rays, ids_ref=ids_ref,
-                           tlo_ref=tlo_ref, bbox_ref=bbox_ref,
+                           tlo_ref=tlo_ref, ids_t_ref=ids_t_ref,
+                           tlo_t_ref=tlo_t_ref, bbox_ref=bbox_ref,
                            ids_row=ids_row)
 
 
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
                        tb_ref=None, nl_ref=None, ids_ref=None,
-                       tlo_ref=None, bbox_ref=None, ids_row=0):
+                       tlo_ref=None, ids_t_ref=None, tlo_t_ref=None,
+                       bbox_ref=None, ids_row=0):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -225,7 +237,7 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
     def sphere_tile_body(k, best):
         return sphere_math(k * BLOCK_K, best)
 
-    if ids_ref is not None:
+    if (ids_ref is not None) or (ids_t_ref is not None):
         # LISTED variant with NEAR-TO-FAR EARLY EXIT: stream the tiles the
         # XLA-side block cone selected (render_tiled._block_tile_select),
         # sorted ascending by their conservative entry distance t_lo, and
@@ -251,23 +263,29 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
             exit_axis(oz, iz, lo_z, hi_z))                   # [R, 1]
         t_cap = jnp.maximum(t_exit, 0.0) * (1.0 + 1e-4) + 1e-3
 
-        t_pad = tlo_ref.shape[1]
+        def listed_scan(ids_r, tlo_r, math_fn, best):
+            t_pad = tlo_r.shape[1]
 
-        def chunk_cond(carry):
-            j, t_best, _pid = carry
-            t_hi = jnp.max(jnp.minimum(t_best, t_cap))
-            return (j < t_pad) & (tlo_ref[ids_row, j] <= t_hi)
+            def chunk_cond(carry):
+                j, t_best, _pid = carry
+                t_hi = jnp.max(jnp.minimum(t_best, t_cap))
+                return (j < t_pad) & (tlo_r[ids_row, j] <= t_hi)
 
-        def chunk_body(carry):
-            j, t_best, pid_best = carry
-            best = (t_best, pid_best)
-            for k in range(CHUNK_T):
-                best = sphere_math(ids_ref[ids_row, j + k] * BLOCK_K, best)
-            return j + CHUNK_T, best[0], best[1]
+            def chunk_body(carry):
+                j, t_best, pid_best = carry
+                b = (t_best, pid_best)
+                for k in range(CHUNK_T):
+                    b = math_fn(ids_r[ids_row, j + k] * BLOCK_K, b)
+                return j + CHUNK_T, b[0], b[1]
 
-        _, t_best, pid_best = jax.lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), best[0], best[1]))
-        best = (t_best, pid_best)
+            _, t_best, pid_best = jax.lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(0), best[0], best[1]))
+            return (t_best, pid_best)
+    else:
+        listed_scan = None
+
+    if ids_ref is not None:
+        best = listed_scan(ids_ref, tlo_ref, sphere_math, best)
     elif tb_ref is None:
         best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
                                  sphere_tile_body, best)
@@ -320,8 +338,7 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
     best = jax.lax.fori_loop(0, pl.cdiv(n_box, BLOCK_K), box_tile, best)
 
     # ---- triangles: rows v0x..v0z, v1x..v1z, v2x..v2z -------------------
-    def tri_tile(k, best):
-        k0 = k * BLOCK_K
+    def tri_math(k0, best):
         sl = pl.ds(k0, BLOCK_K)
         v0x, v0y, v0z = tri_ref[0:1, sl], tri_ref[1:2, sl], tri_ref[2:3, sl]
         v1x, v1y, v1z = tri_ref[3:4, sl], tri_ref[4:5, sl], tri_ref[5:6, sl]
@@ -346,7 +363,12 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                  & (u + v <= 1.0) & (t >= 0.0) & (lane + k0 < n_tri))
         return _update(best, jnp.where(valid, t, _INF), k0, n_sph + n_box)
 
-    best = jax.lax.fori_loop(0, pl.cdiv(n_tri, BLOCK_K), tri_tile, best)
+    if ids_t_ref is not None:
+        best = listed_scan(ids_t_ref, tlo_t_ref, tri_math, best)
+    else:
+        best = jax.lax.fori_loop(0, pl.cdiv(n_tri, BLOCK_K),
+                                 lambda k, b: tri_math(k * BLOCK_K, b),
+                                 best)
 
     t_best, pid_best = best
     # mask rows past the wavefront tail (padded rays)
@@ -365,14 +387,22 @@ def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir, sph, box, tri,
-                             meta, interpret=False):
+@functools.partial(jax.jit, static_argnames=("meta", "sph_listed",
+                                             "tri_listed", "interpret"))
+def _nearest_hit_call_listed(nl, bbox, lists, org, dir, sph, box, tri,
+                             meta, sph_listed, tri_listed,
+                             interpret=False):
     n_sph, n_box, n_tri, n_rays = meta
     n_pad = org.shape[0]
     grid = (n_pad // BLOCK_R,)
     kern = functools.partial(_nearest_hit_kernel_listed, n_sph=n_sph,
-                             n_box=n_box, n_tri=n_tri, n_rays=n_rays)
+                             n_box=n_box, n_tri=n_tri, n_rays=n_rays,
+                             sph_listed=sph_listed, tri_listed=tri_listed)
+    list_specs = [
+        pl.BlockSpec((8, a.shape[1]), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM)
+        for a in lists
+    ]
     t, pid = pl.pallas_call(
         kern,
         grid=grid,
@@ -381,10 +411,7 @@ def _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir, sph, box, tri,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(bbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, ids.shape[1]), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, tlo.shape[1]), lambda i: (i // 8, 0),
-                         memory_space=pltpu.SMEM),
+            *list_specs,
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
@@ -412,7 +439,7 @@ def _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir, sph, box, tri,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(nl, bbox, ids, tlo, org, dir, sph, box, tri)
+    )(nl, bbox, *lists, org, dir, sph, box, tri)
     return t[:, 0], pid[:, 0]
 
 
@@ -731,7 +758,7 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                        interpret: bool | None = None,
                        n_live: Array | None = None,
                        tile_bounds: Array | None = None,
-                       tile_ids=None
+                       tile_ids=None, tri_tile_ids=None
                        ) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
 
@@ -753,7 +780,9 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     Callers must pass spheres in the same Morton-tile order the ids index
     and the selection + t_lo must be conservative (a missed tile or an
     over-estimated t_lo is an exactness bug, not a perf bug).
-    Boxes/triangles stream dense. B must equal ceil(N / BLOCK_R).
+    ``tri_tile_ids`` is the same contract for 128-TRIANGLE Morton tiles
+    (mesh-heavy scenes — config 3's class); boxes always stream dense.
+    B must equal ceil(N / BLOCK_R).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -785,21 +814,29 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
     nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
           else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
-    if tile_ids is not None:
-        ids, tlo = tile_ids
-        assert ids.shape[0] * BLOCK_R >= n, (ids.shape, n)
-        ids = ids.astype(jnp.int32)
-        tlo = tlo.astype(jnp.float32)
-        rpad = -(-ids.shape[0] // 8) * 8 - ids.shape[0]
-        if rpad:
-            ids = jnp.pad(ids, ((0, rpad), (0, 0)))
-            tlo = jnp.pad(tlo, ((0, rpad), (0, 0)),
-                          constant_values=jnp.inf)
-        cpad = -(-ids.shape[1] // CHUNK_T) * CHUNK_T - ids.shape[1]
-        if cpad:
-            ids = jnp.pad(ids, ((0, 0), (0, cpad)))
-            tlo = jnp.pad(tlo, ((0, 0), (0, cpad)),
-                          constant_values=jnp.inf)
+    if tile_ids is not None or tri_tile_ids is not None:
+        def prep(pair):
+            ids, tlo = pair
+            assert ids.shape[0] * BLOCK_R >= n, (ids.shape, n)
+            ids = ids.astype(jnp.int32)
+            tlo = tlo.astype(jnp.float32)
+            rpad = -(-ids.shape[0] // 8) * 8 - ids.shape[0]
+            if rpad:
+                ids = jnp.pad(ids, ((0, rpad), (0, 0)))
+                tlo = jnp.pad(tlo, ((0, rpad), (0, 0)),
+                              constant_values=jnp.inf)
+            cpad = -(-ids.shape[1] // CHUNK_T) * CHUNK_T - ids.shape[1]
+            if cpad:
+                ids = jnp.pad(ids, ((0, 0), (0, cpad)))
+                tlo = jnp.pad(tlo, ((0, 0), (0, cpad)),
+                              constant_values=jnp.inf)
+            return ids, tlo
+
+        lists = ()
+        if tile_ids is not None:
+            lists += prep(tile_ids)
+        if tri_tile_ids is not None:
+            lists += prep(tri_tile_ids)
         # per-ray early-exit cap: the scene-bbox exit (any hit point lies
         # inside the union of prim AABBs, so no prim can beat a ray's
         # bbox-exit param — what lets MISS rays terminate the stream)
@@ -809,8 +846,11 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
         bbox = jnp.concatenate(
             [jnp.min(lo, axis=0), jnp.max(hi, axis=0),
              jnp.zeros((2,), jnp.float32)]).reshape(1, 8)
-        t, pid = _nearest_hit_call_listed(nl, bbox, ids, tlo, org, dir,
+        t, pid = _nearest_hit_call_listed(nl, bbox, lists, org, dir,
                                           sph, box, tri, meta,
+                                          sph_listed=tile_ids is not None,
+                                          tri_listed=(tri_tile_ids
+                                                      is not None),
                                           interpret=interpret)
         return t[:n], pid[:n]
     if tile_bounds is not None:

@@ -298,38 +298,61 @@ def _block_tile_select(org: Array, dirs: Array, working: Array, tb: Array):
 
 
 def _sweep_perm(scene: Scene):
-    """Morton-permuted sphere table + per-128-tile bounds for the sweep
-    kernel's block-cone cull -> (scene_view, perm [n_sph] i32, tb [T, 4]).
+    """Morton-permuted prim tables + per-128-tile bounds for the sweep
+    kernel culls -> (scene_view, sph, tri) with each class entry
+    ``(perm [n] i32, tb [T, 4] f32)`` or None.
 
     The whole-table kernel streams prim tiles past coherent ray blocks;
-    with spheres in Morton order each 128-prim tile is spatially tight, so
-    a per-tile bounding sphere vs the block's cone culls most tiles with
-    one scalar predicate (kernels/nearest_hit sphere_tile). Only the
-    sphere GEOMETRY is permuted — winners map back to global ids before
-    shading, so id-indexed tables stay untouched. Returns None when the
-    scene is too small to benefit.
+    with a class in Morton order each 128-prim tile is spatially tight, so
+    per-block tile selection (listed cull + near-to-far early exit) or the
+    legacy in-kernel cone predicate can skip most of it. Only GEOMETRY is
+    permuted — winners map back to global ids before shading, so
+    id-indexed tables stay untouched. A class participates only when it
+    has >= 4 * BLOCK_K primitives; returns None when neither does.
     """
     from .kernels.nearest_hit import BLOCK_K
 
-    n_s = scene.n_spheres
-    if n_s < 4 * BLOCK_K:
+    def tile_bounds(c_p, r_p):
+        n = c_p.shape[0]
+        T = -(-n // BLOCK_K)
+        pad = T * BLOCK_K - n
+        cp = (jnp.concatenate([c_p, jnp.broadcast_to(c_p[-1:], (pad, 3))])
+              if pad else c_p)
+        rp = (jnp.concatenate([r_p, jnp.zeros((pad,), r_p.dtype)])
+              if pad else r_p)
+        cpt = cp.reshape(T, BLOCK_K, 3)
+        rpt = rp.reshape(T, BLOCK_K)
+        tc = 0.5 * (cpt.min(axis=1) + cpt.max(axis=1))
+        tr = jnp.max(jnp.linalg.norm(cpt - tc[:, None], axis=-1) + rpt,
+                     axis=1)
+        return jnp.concatenate([tc, tr[:, None]], axis=1)
+
+    scene_p = scene
+    sph = tri = None
+    if scene.n_spheres >= 4 * BLOCK_K:
+        code = _morton_key(scene, scene.sphere_center, bits=8)
+        perm = jnp.argsort(code).astype(jnp.int32)
+        c_p = scene.sphere_center[perm]
+        r_p = scene.sphere_radius[perm]
+        scene_p = scene_p.replace(sphere_center=c_p, sphere_radius=r_p)
+        sph = (perm, tile_bounds(c_p, r_p))
+    if scene.n_tris >= 4 * BLOCK_K:
+        cent = (scene.tri_v0 + scene.tri_v1 + scene.tri_v2) / 3.0
+        code = _morton_key(scene, cent, bits=8)
+        perm = jnp.argsort(code).astype(jnp.int32)
+        v0 = scene.tri_v0[perm]
+        v1 = scene.tri_v1[perm]
+        v2 = scene.tri_v2[perm]
+        scene_p = scene_p.replace(tri_v0=v0, tri_v1=v1, tri_v2=v2)
+        c_p = cent[perm]
+        r_p = jnp.maximum(
+            jnp.maximum(jnp.linalg.norm(v0 - c_p, axis=-1),
+                        jnp.linalg.norm(v1 - c_p, axis=-1)),
+            jnp.linalg.norm(v2 - c_p, axis=-1))
+        tri = (perm, tile_bounds(c_p, r_p))
+    if sph is None and tri is None:
         return None
-    code = _morton_key(scene, scene.sphere_center, bits=8)
-    perm = jnp.argsort(code).astype(jnp.int32)
-    c_p = scene.sphere_center[perm]
-    r_p = scene.sphere_radius[perm]
-    scene_p = scene.replace(sphere_center=c_p, sphere_radius=r_p)
-    T = -(-n_s // BLOCK_K)
-    pad = T * BLOCK_K - n_s
-    cp = jnp.concatenate([c_p, jnp.broadcast_to(c_p[-1:], (pad, 3))]
-                         ) if pad else c_p
-    rp = jnp.concatenate([r_p, jnp.zeros((pad,), r_p.dtype)]) if pad else r_p
-    cpt = cp.reshape(T, BLOCK_K, 3)
-    rpt = rp.reshape(T, BLOCK_K)
-    tc = 0.5 * (cpt.min(axis=1) + cpt.max(axis=1))
-    tr = jnp.max(jnp.linalg.norm(cpt - tc[:, None], axis=-1) + rpt, axis=1)
-    tb = jnp.concatenate([tc, tr[:, None]], axis=1)
-    return scene_p, perm, tb
+    return scene_p, sph, tri
 
 
 def packet_bounce(scene: Scene, cols, c_max: int, t_done: Array,
@@ -638,19 +661,34 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
         work_sl = (sl[10] == int(RayStatus.ALIVE)) & (
             bounce_s[:cap] < cfg.refmax)
         if sweep_tab is not None:
-            scene_s, perm_s, tb = sweep_tab
-            # listed cull needs an [8, T] i32 SMEM window per program;
-            # past ~4096 tiles (128 KB) fall back to the dense stream
-            if SWEEP_LISTED and tb.shape[0] <= 2048:
-                ids, tlo = _block_tile_select(org, dirs, work_sl, tb)
-                _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
-                                             tile_ids=(ids, tlo))
-            else:
-                _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
-                                             tile_bounds=tb)
-            pid = jnp.where(
-                (pid >= 0) & (pid < scene.n_spheres),
-                perm_s[jnp.clip(pid, 0, max(scene.n_spheres - 1, 0))], pid)
+            scene_s, sph_e, tri_e = sweep_tab
+            # listed cull needs [8, T] SMEM windows per program; past
+            # ~2048 tiles a class falls back to the DENSE stream (the
+            # in-kernel culled variant also SMEM-overflows there: tb
+            # [7813, 4] blew the 1 MB SMEM at 1M prims)
+            kw = {}
+            if SWEEP_LISTED:
+                if sph_e is not None and sph_e[1].shape[0] <= 2048:
+                    kw["tile_ids"] = _block_tile_select(
+                        org, dirs, work_sl, sph_e[1])
+                if tri_e is not None and tri_e[1].shape[0] <= 2048:
+                    kw["tri_tile_ids"] = _block_tile_select(
+                        org, dirs, work_sl, tri_e[1])
+            if (not kw and SWEEP_CULL and sph_e is not None
+                    and sph_e[1].shape[0] <= 2048):
+                kw["tile_bounds"] = sph_e[1]
+            _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
+                                         **kw)
+            # winners map back from permuted-class to global ids
+            if sph_e is not None:
+                pid = jnp.where(
+                    (pid >= 0) & (pid < scene.n_spheres),
+                    sph_e[0][jnp.clip(pid, 0,
+                                      max(scene.n_spheres - 1, 0))], pid)
+            if tri_e is not None:
+                b_end = scene.n_spheres + scene.n_boxes
+                loc = jnp.clip(pid - b_end, 0, max(scene.n_tris - 1, 0))
+                pid = jnp.where(pid >= b_end, b_end + tri_e[0][loc], pid)
         else:
             _t, pid = nearest_hit_pallas(scene, org, dirs, n_live=nl)
         pid = jnp.where(work_sl, pid, -1)

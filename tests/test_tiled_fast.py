@@ -161,3 +161,30 @@ def test_tiled_sweep_listed_cull_many_spheres():
     assert rtl.SWEEP_LISTED     # the default path under test
     got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
     _check(got, diag, want)
+
+
+def test_tiled_sweep_listed_cull_mesh():
+    """The r4 listed cull for TRIANGLE Morton tiles (mesh-heavy scenes —
+    config 3's class): tri winners map back through the tri permutation,
+    parity with BRUTE holds."""
+    from raytracer_js_tpu.utils.mesh import icosphere
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    gold = b.add_solid_texture((0.9, 0.75, 0.3))
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse,
+              b.add_solid_texture((0.5, 0.5, 0.5)))
+    v, f = icosphere(3, radius=1.2, center=(5.0, 0.0, 1.0))   # 1280 tris
+    b.add_mesh(v, f, mirror, gold)
+    b.add_sphere((4.0, -2.0, 0.5), 0.7, diffuse,
+                 b.add_solid_texture((0.8, 0.2, 0.2)))
+    scene = b.build()
+    assert scene.n_tris >= 512          # tri class participates
+    w, h = tt.LANE, tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
+    _check(got, diag, want)
