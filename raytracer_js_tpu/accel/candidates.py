@@ -564,9 +564,15 @@ def pack_candidate_attrs_jnp(scene: Scene, pid: Array, t_lo: Array,
         table = prim_attr_table_jnp(scene)
     safe = jnp.clip(pid, 0, max(scene.n_prims - 1, 0))
     out = table[safe]
-    out = out.at[:, 0].set(jnp.where(pid >= 0, t_lo, jnp.inf))
-    out = out.at[:, 1].set(jnp.maximum(pid, 0).astype(jnp.float32))
-    return out
+    # write cols 0/1 via fused broadcast-wheres, NOT .at[:, c].set — the
+    # scatter materializes an [n, 1] temp whose T(8,128) layout pads the
+    # minor dim 128x (11.9 GB at config-5's 25M candidate rows, measured
+    # HBM OOM)
+    col = jax.lax.iota(jnp.int32, N_ATTR)[None, :]
+    t_col = jnp.where(pid >= 0, t_lo, jnp.inf)
+    p_col = jnp.maximum(pid, 0).astype(jnp.float32)
+    return jnp.where(col == 0, t_col[:, None],
+                     jnp.where(col == 1, p_col[:, None], out))
 
 
 # ---------------------------------------------------------------------------

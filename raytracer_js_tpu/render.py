@@ -28,7 +28,7 @@ Array = jnp.ndarray
 #: (measured crossover notes at render_hdr); override via env for tuning
 import os as _os
 
-TILED_MIN_PRIMS = int(_os.environ.get("RT_TILED_MIN_PRIMS", "16384"))
+TILED_MIN_PRIMS = int(_os.environ.get("RT_TILED_MIN_PRIMS", "2048"))
 
 
 def start_substance(scene: Scene, pos: Array) -> Array:
@@ -111,11 +111,13 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
         key = jax.random.key(0)
     if (cfg.backend == HitBackend.TILED
             and scene.n_prims <= TILED_MIN_PRIMS and tables is None):
-        # Measured crossover (r2, v5e-lite): at 512^2 / 5k prims the PALLAS
-        # wavefront hit kernel sustains 1.17e6 rays/s vs TILED's 2.9e5 —
-        # the tiled round machinery (packet sorts + candidate builds) only
-        # pays off once the primitive table is too large to stream past
-        # every ray tile. Dispatch, not the caller, owns that knowledge.
+        # Measured crossover (r4, v5e-lite): at 512^2 / 5k prims TILED
+        # sustains 4.48e6 rays/s vs PALLAS's 1.19e6 — the sweep-mode
+        # rounds (frustum bounce-0 candidates + live-compacted whole-table
+        # rounds with listed cull + near-to-far early exit) now beat the
+        # uncompacted wavefront well below the old 16k bar. Sub-2k scenes
+        # keep PALLAS/FUSED (per-round sort floors dominate tiny scenes).
+        # Dispatch, not the caller, owns that knowledge.
         cfg = dataclasses.replace(cfg, backend=HitBackend.PALLAS)
     if cfg.backend == HitBackend.TILED:
         from . import render_tiled as rtl
