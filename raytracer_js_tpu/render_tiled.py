@@ -574,10 +574,13 @@ ESC_MAX = int(__import__("os").environ.get("RT_TILED_ESC_MAX",
                                            str(1 << 14)))
 #: scenes at or below this primitive count use SWEEP MODE for bounces
 #: >= 1: whole-table rescue rounds instead of packet candidate rounds
-#: (see render_frame_tiled) — the selection/pack overhead only pays for
-#: itself once the primitive table is too large to stream per ray
+#: (see render_frame_tiled). r4 raised the bar 262144 -> 1M: with the
+#: scoped-VMEM raise, listed cull and near-to-far early exit, sweep
+#: frames at 1M prims measured ~2x faster than the packet machinery
+#: (~50 s vs ~100 s per 1080p recording frame, config-5 runs); the
+#: packet rounds remain the fallback beyond it.
 SWEEP_MAX_PRIMS = int(__import__("os").environ.get("RT_TILED_SWEEP_MAX",
-                                                   "262144"))
+                                                   "1048576"))
 #: sweep-mode slice width: the compacted live prefix one sweep round
 #: processes (the XLA shade/respawn costs scale with this; overflow live
 #: rays take another while-loop round)
@@ -668,10 +671,13 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
             # [7813, 4] blew the 1 MB SMEM at 1M prims)
             kw = {}
             if SWEEP_LISTED:
-                if sph_e is not None and sph_e[1].shape[0] <= 2048:
+                # floor at 64 tiles: below it the per-chunk exit branches
+                # cost more than the dense stream saves (config 3's 41
+                # tri tiles measured 3.5e6 listed vs 4.5e6 dense)
+                if sph_e is not None and 64 <= sph_e[1].shape[0] <= 2048:
                     kw["tile_ids"] = _block_tile_select(
                         org, dirs, work_sl, sph_e[1])
-                if tri_e is not None and tri_e[1].shape[0] <= 2048:
+                if tri_e is not None and 64 <= tri_e[1].shape[0] <= 2048:
                     kw["tri_tile_ids"] = _block_tile_select(
                         org, dirs, work_sl, tri_e[1])
             if (not kw and SWEEP_CULL and sph_e is not None
