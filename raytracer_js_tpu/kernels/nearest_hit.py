@@ -107,8 +107,9 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
 
 #: listed-kernel chunk: tiles streamed between early-exit checks (the
 #: per-chunk scalar branch amortizes to 1/CHUNK_T per tile — a per-tile
-#: cond chain was the r3 SWEEP_CULL failure mode)
-CHUNK_T = 4
+#: cond chain was the r3 SWEEP_CULL failure mode). Env-tunable for
+#: experiments (tools/exp_nh_blockr.py).
+CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
 
 
 def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
