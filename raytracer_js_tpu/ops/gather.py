@@ -81,11 +81,66 @@ def onehot_gather(idx: Array, cat: Array) -> Array:
     (0.6 -> 0.6015625), silently corrupting float columns; the 3-pass f32
     split reproduces one-hot selection exactly. ``jax.checkpoint`` keeps the
     [N, K] one-hot out of the VJP residuals (see module docstring).
+
+    ``RT_GATHER_SPLIT=1`` (experimental, read at trace time) switches to a
+    hand 3-way bf16 split of the TABLE side only: the one-hot operand is
+    exact in bf16 (entries are 0/1), so ``oh_bf16 @ (hi + mid + lo)`` with
+    f32 accumulation reproduces each selected row to ~1 ulp f32 with DEFAULT
+    precision matmuls (3 MXU passes instead of HIGHEST's 6, and a bf16
+    one-hot operand at half the stream width).
     """
+    import os
+
     k = cat.shape[0]
+    if os.environ.get("RT_GATHER_SPLIT", "") == "1":
+        oh = (idx[:, None] == jax.lax.iota(jnp.int32, k)[None, :]).astype(
+            jnp.bfloat16)
+        c32 = cat.astype(jnp.float32)
+        hi = c32.astype(jnp.bfloat16)
+        r1 = c32 - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        dot = functools.partial(jax.lax.dot_general, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+        return dot(oh, hi) + dot(oh, mid) + dot(oh, lo)
     oh = (idx[:, None] == jax.lax.iota(jnp.int32, k)[None, :]).astype(
         cat.dtype)
     return jnp.matmul(oh, cat, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.checkpoint
+def _onehot_gather_pair(idx: Array, grad_tab: Array, disc_tab: Array):
+    """One shared one-hot, two matmuls: differentiable rows + stop-grad
+    flag rows. The [N, K] operand is generated ONCE per autodiff direction
+    (separate checkpointed gathers each rebuild it — measured r4: that
+    doubled the 1000-prim replay forward), and the flag dot contributes no
+    transpose work to the VJP."""
+    k = grad_tab.shape[0]
+    oh = (idx[:, None] == jax.lax.iota(jnp.int32, k)[None, :]).astype(
+        grad_tab.dtype)
+    g = jnp.matmul(oh, grad_tab, precision=jax.lax.Precision.HIGHEST)
+    d = jnp.matmul(jax.lax.stop_gradient(oh),
+                   jax.lax.stop_gradient(disc_tab),
+                   precision=jax.lax.Precision.HIGHEST)
+    return g, d
+
+
+def gather_rows_pair(grad_tab: Array, disc_tab: Array, idx: Array):
+    """``(grad_tab[idx], stop_grad(disc_tab)[idx])`` for [K, C] tables and
+    [N] int idx — one-hot matmuls sharing the one-hot operand for small K,
+    jnp.take otherwise."""
+    k = grad_tab.shape[0]
+    n = math.prod(idx.shape) if idx.shape else 1
+    flat = idx.reshape(-1).astype(jnp.int32)
+    if k > ONE_HOT_MAX_ROWS or n * k > ONE_HOT_MAX_ELEMS:
+        return (jnp.take(grad_tab, flat, axis=0).reshape(
+                    *idx.shape, grad_tab.shape[1]),
+                jnp.take(jax.lax.stop_gradient(disc_tab), flat,
+                         axis=0).reshape(*idx.shape, disc_tab.shape[1]))
+    g, d = _onehot_gather_pair(flat, grad_tab, disc_tab)
+    return (g.reshape(*idx.shape, grad_tab.shape[1]),
+            d.reshape(*idx.shape, disc_tab.shape[1]))
 
 
 def gather_rows(table: Array, idx: Array) -> Array:

@@ -104,7 +104,12 @@ def sphere_surface(org: Array, dir: Array, center: Array, radius: Array):
     t_far = (-b_half + sq) / a
     t = jnp.where(t_near >= 0.0, t_near, t_far)
     point = org + t[..., None] * dir
-    normal = (point - center) / radius[..., None]
+    # eps-guarded divisor: with the unified per-prim row table, non-sphere
+    # rows reach this math with radius == 0 — an unguarded 1/r would put an
+    # inf in the local derivative that NaN-poisons masked-lane gradients
+    # (0 * inf) through the chain rule. Real radii are far above the guard.
+    r_safe = jnp.where(jnp.abs(radius) < 1e-12, 1e-12, radius)
+    normal = (point - center) / r_safe[..., None]
     normal = jnp.where(dot(dir, normal)[..., None] > 0.0, -normal, normal)
     u, v = uv_map_sphere(point - center)
     return t, point, normal, (u, v)
@@ -190,12 +195,20 @@ def box_surface(org: Array, dir: Array, center: Array, half: Array):
     # face index in reference FACE_NORMALS order: (-x,+x,-y,+y,-z,+z)
     outward_sign = jnp.where(entering, -sign, sign)
     face = axis * 2 + (outward_sign > 0.0).astype(jnp.int32)
-    # local coords on the two non-axis dimensions
-    rel = jnp.clip((point - lo) / (2.0 * half), 0.0, 1.0 - 2.0 ** -23)
+    # local coords on the two non-axis dimensions. The divisor is
+    # eps-guarded: unified-row callers feed non-box rows with zero half
+    # widths whose masked lanes must stay NaN-free in primal AND gradient
+    # (real boxes are unaffected). The axis picks are one-hot contractions,
+    # not take_along_axis: the per-ray minor-dim gather VJP is a serialized
+    # scatter on TPU (measured r4: the surface VJP dominated the whole
+    # replay backward), while the one-hot dot transposes to fused
+    # elementwise multiplies.
+    rel = jnp.clip((point - lo) / jnp.maximum(2.0 * half, 1e-12),
+                   0.0, 1.0 - 2.0 ** -23)
     b_axis = jnp.where(axis == 0, 1, 0)
     c_axis = jnp.where(axis == 2, 1, 2)
-    u_local = jnp.take_along_axis(rel, b_axis[..., None], axis=-1)[..., 0]
-    v_local = jnp.take_along_axis(rel, c_axis[..., None], axis=-1)[..., 0]
+    u_local = jnp.sum(rel * jax_onehot3(b_axis), axis=-1)
+    v_local = jnp.sum(rel * jax_onehot3(c_axis), axis=-1)
     u = (face.astype(rel.dtype) + u_local) / 6.0
     return t, point, normal, (u, v_local)
 

@@ -66,7 +66,7 @@ from ..config import EPS_ADVANCE, JS_EPSILON, HitBackend, RayStatus, RenderConfi
 from ..models import textures as tex_mod
 from ..models.scene import Scene, prim_volumes
 from . import intersect, sampling
-from .gather import gather_cols, gather_rows
+from .gather import gather_cols, gather_rows, gather_rows_pair
 from .vecmath import dot, reflect, refract, uv_map_sphere
 
 Array = jnp.ndarray
@@ -172,6 +172,128 @@ def nearest_hit(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
 # ---------------------------------------------------------------------------
 # Differentiable surface recompute
 # ---------------------------------------------------------------------------
+
+def prim_rows(scene: Scene):
+    """Unified [P, C] per-prim attribute table — the differentiable
+    gather boundary of the bounce loop.
+
+    Measured r4 (tools/bench_results_r4/exp_backward2.jsonl): the separate
+    per-bounce gathers (sphere c/r, box c/h, prim tex/mat ids, material
+    columns, solid texture rgb — 4-6 one-hot matmuls per bounce) accounted
+    for ~85% of the replay value_and_grad time; each matmul is a fusion
+    boundary with an [N, C] HBM round trip in BOTH autodiff directions.
+    This table joins everything a bounce needs into one row per primitive,
+    so :func:`_bounce` costs ONE ``gather_rows`` per bounce. Gradients flow
+    through the concat/pre-join to every Scene leaf exactly as before.
+
+    Returns ``(grad_tab, disc_tab)`` — gathered per bounce by ONE shared
+    one-hot (gather.gather_rows_pair): the discrete columns ride the same
+    [N, K] operand but under ``stop_gradient`` (their cotangents are
+    dropped by float_partition anyway). Measured r4
+    (exp_backward3*.jsonl): two SEPARATE checkpointed gathers regenerate
+    the [N, K] one-hot twice and doubled the 1000-prim forward; one wide
+    table was best forward but pays pad-and-add transposes for flag
+    columns in the VJP — the shared-operand pair takes both wins.
+
+    ``grad_tab`` [P, g + 1 (+3)] (g = 9 when the scene has triangles,
+    else 6) — the differentiable columns:
+
+    ========  =======================================================
+    0:3       sphere center / box center / tri v0
+    3:6       (radius, 0, 0) / box half / tri v1
+    6:9       zeros / zeros / tri v2            (only when n_tris > 0)
+    g         material roughness (pre-joined per prim)
+    g+1:g+4   solid texture rgb (pre-joined; only when the texture
+              table has no images — image scenes sample per ray)
+    ========  =======================================================
+
+    ``disc_tab`` [P, 4] — light, mirror, response, texture id (exact
+    through f32 below 2^24, same contract as gather_cols).
+
+    Returns ``None`` for empty scenes.
+    """
+    if scene.n_prims == 0:
+        return None
+    with_tri = scene.n_tris > 0
+    f32 = jnp.float32
+
+    def geom(ga, gb, gc):
+        cols = [ga, gb] + ([gc] if with_tri else [])
+        return jnp.concatenate(cols, axis=1)
+
+    parts = []
+    if scene.n_spheres:
+        s = scene.n_spheres
+        gb = jnp.concatenate([scene.sphere_radius[:, None],
+                              jnp.zeros((s, 2), f32)], axis=1)
+        parts.append(geom(scene.sphere_center, gb, jnp.zeros((s, 3), f32)))
+    if scene.n_boxes:
+        parts.append(geom(scene.box_center, scene.box_half,
+                          jnp.zeros((scene.n_boxes, 3), f32)))
+    if scene.n_tris:
+        parts.append(geom(scene.tri_v0, scene.tri_v1, scene.tri_v2))
+    g = jnp.concatenate(parts, axis=0)                       # [P, 6|9]
+
+    mat = scene.materials
+    light, mirror, response, rough = gather_cols(
+        scene.prim_material, mat.light, mat.mirror, mat.response,
+        mat.roughness)
+    cols = [g, rough.astype(f32)[:, None]]
+    if not scene.textures.has_images:
+        (rgb,) = gather_cols(scene.prim_texture, scene.textures.solid_rgb)
+        cols.append(rgb)
+    grad_tab = jnp.concatenate(cols, axis=1)
+    disc_tab = jnp.concatenate(
+        [light.astype(f32)[:, None], mirror.astype(f32)[:, None],
+         response.astype(f32)[:, None],
+         scene.prim_texture.astype(f32)[:, None]], axis=1)
+    return grad_tab, disc_tab
+
+
+def _surface_from_rows(scene: Scene, org: Array, dir: Array, pid_c: Array,
+                       rows: Array, need_uv: bool):
+    """surface_at from pre-gathered unified rows (same selection masks).
+
+    Every class kernel runs on every lane from the SAME rows (degenerate
+    params on foreign lanes are eps-guarded NaN-free in primal and
+    gradient — see intersect.sphere_surface/box_surface); the winner is
+    picked by the pid range masks. ``need_uv=False`` skips the uv math
+    entirely (solid-texture scenes pre-join rgb, so the equirect atan2 and
+    its VJP fold away).
+    """
+    n = org.shape[0]
+    s_end = scene.n_spheres
+    b_end = s_end + scene.n_boxes
+    ga = rows[:, 0:3]
+    gb = rows[:, 3:6]
+
+    point = jnp.zeros_like(org)
+    normal = jnp.zeros_like(org)
+    uu = jnp.zeros((n,), org.dtype)
+    vv = jnp.zeros((n,), org.dtype)
+    tt = jnp.zeros((n,), org.dtype)
+
+    def put(m, p, nrm, u, v, t):
+        nonlocal point, normal, uu, vv, tt
+        point = jnp.where(m[:, None], p, point)
+        normal = jnp.where(m[:, None], nrm, normal)
+        if need_uv:
+            uu = jnp.where(m, u, uu)
+            vv = jnp.where(m, v, vv)
+        tt = jnp.where(m, t, tt)
+
+    if scene.n_spheres:
+        t, p, nrm, (u, v) = intersect.sphere_surface(org, dir, ga, gb[:, 0])
+        put(pid_c < s_end, p, nrm, u, v, t)
+    if scene.n_boxes:
+        t, p, nrm, (u, v) = intersect.box_surface(org, dir, ga, gb)
+        put((pid_c >= s_end) & (pid_c < b_end), p, nrm, u, v, t)
+    if scene.n_tris:
+        t, p, nrm, (u, v) = intersect.tri_surface(org, dir, ga, gb,
+                                                  rows[:, 6:9])
+        put(pid_c >= b_end, p, nrm, u, v, t)
+    return point, normal, uu, vv, tt
+
 
 def surface_at(scene: Scene, org: Array, dir: Array, pid: Array):
     """(point, normal, u, v, t) of primitive ``pid`` per ray — differentiable.
@@ -351,8 +473,8 @@ def sky_color(scene: Scene, dir: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
-            rng, bounce: Array, pid_override: Array | None = None
-            ) -> RayState:
+            rng, bounce: Array, pid_override: Array | None = None,
+            prows: Array | None = None) -> RayState:
     """One wavefront pass: traverse -> intersect -> shade -> respawn.
 
     ``pid_override`` [N] replaces the nearest-hit SEARCH with a given
@@ -361,6 +483,11 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
     pass recomputes only the continuous factors differentiably. Gradients
     are identical to the search path because the search result is
     stop_gradient'ed there anyway.
+
+    ``prows`` is the :func:`prim_rows` table (built once per trace by the
+    loop drivers); everything the shading needs comes from ONE row gather
+    per bounce — measured r4: the separate gathers were ~85% of the replay
+    backward time.
     """
     alive = state.status == int(RayStatus.ALIVE)
 
@@ -378,22 +505,33 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
         status = jnp.where(alive, int(RayStatus.MISS), state.status)
         return state.replace(color=color, status=status)
 
-    point, normal, u, v, t_surf = surface_at(scene, state.org, state.dir, pid)
+    if prows is None:
+        prows = prim_rows(scene)
+    grad_tab, disc_tab = prows
+    g = 9 if scene.n_tris else 6
+    has_img = scene.textures.has_images
+    pid_cc = jnp.clip(pid, 0, scene.n_prims - 1)
+    rows, flags = gather_rows_pair(grad_tab, disc_tab, pid_cc)
+
+    point, normal, u, v, t_surf = _surface_from_rows(
+        scene, state.org, state.dir, pid_cc, rows, need_uv=has_img)
 
     # alter_ray: color *= texture(uv) (material_solid.ts:30-36)
-    pid_cc = jnp.clip(pid, 0, scene.n_prims - 1)
-    tex_id, mat_id = gather_cols(pid_cc, scene.prim_texture,
-                                 scene.prim_material)
-    tex_rgb = tex_mod.sample(scene.textures, tex_id, u, v)
+    if has_img:
+        tex_id = jnp.round(flags[:, 3]).astype(jnp.int32)
+        tex_rgb = tex_mod.sample(scene.textures, tex_id, u, v)
+    else:
+        tex_rgb = rows[:, g + 1:g + 4]                 # pre-joined solid rgb
     color = jnp.where(hit[:, None], state.color * tex_rgb, state.color)
 
     # path distance (raytracer.ts:210); dir is unit so |point - org| = t
     path = jnp.where(hit, state.path + t_surf, state.path)
 
-    # material columns (one shared one-hot matmul)
-    mat = scene.materials
-    m_light, is_mirror, response, roughness = gather_cols(
-        mat_id, mat.light, mat.mirror, mat.response, mat.roughness)
+    # material columns (pre-joined per prim in the rows tables)
+    m_light = flags[:, 0] > 0.5
+    is_mirror = flags[:, 1] > 0.5
+    response = jnp.round(flags[:, 2]).astype(jnp.int32)
+    roughness = rows[:, g]
     is_light = m_light & hit
 
     is_refl = response == int(ResponseType.REFLECTION)
@@ -469,13 +607,16 @@ def record_paths(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     rec = jnp.broadcast_to((zeros.astype(jnp.int32) - 1)[:, None],
                            (n, cfg.refmax))
 
+    prows = prim_rows(scene)
+
     def body(b, carry):
         st, rec = carry
         alive = st.status == int(RayStatus.ALIVE)
         _t, pid = nearest_hit(scene, cfg, st.org, st.dir, accel)
         pid = jnp.where(alive, pid, -1)
         rec = jax.lax.dynamic_update_slice(rec, pid[:, None], (0, b))
-        st = _bounce(scene, cfg, accel, st, rng, b, pid_override=pid)
+        st = _bounce(scene, cfg, accel, st, rng, b, pid_override=pid,
+                     prows=prows)
         return st, rec
 
     _, rec = jax.lax.fori_loop(0, cfg.refmax, body, (state, rec),
@@ -547,6 +688,8 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                         color=f[2].reshape(-1, 3), path=f[3], refr=f[4],
                         status=f[5])
 
+    prows = prim_rows(scene)
+
     if cfg.remat:
         # recompute each bounce in the backward pass instead of saving its
         # residuals (see RenderConfig.remat)
@@ -554,9 +697,9 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
             st = _unpack(flat)
             if pid_seq is not None:
                 st = _bounce(scene, cfg, accel, st, rng, b,
-                             pid_override=pid_seq[:, b])
+                             pid_override=pid_seq[:, b], prows=prows)
             else:
-                st = _bounce(scene, cfg, accel, st, rng, b)
+                st = _bounce(scene, cfg, accel, st, rng, b, prows=prows)
             return _pack(st)
 
         body = jax.checkpoint(body, static_argnums=())
@@ -567,9 +710,22 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         def body(b, st):
             if pid_seq is not None:
                 return _bounce(scene, cfg, accel, st, rng, b,
-                               pid_override=pid_seq[:, b])
-            return _bounce(scene, cfg, accel, st, rng, b)
+                               pid_override=pid_seq[:, b], prows=prows)
+            return _bounce(scene, cfg, accel, st, rng, b, prows=prows)
 
+        # Experimental (read at trace time): RT_REPLAY_CKPT=plain|dots
+        # checkpoints each unrolled replay bounce WITHOUT the flat-packed
+        # carries of cfg.remat — residuals shrink to the per-bounce RayState
+        # (plain) or to the gather-matmul outputs (dots), trading HBM
+        # residual traffic for recompute in the VJP.
+        import os
+        ck = os.environ.get("RT_REPLAY_CKPT", "")
+        if pid_seq is not None and ck:
+            if ck == "dots":
+                body = jax.checkpoint(
+                    body, policy=jax.checkpoint_policies.dots_saveable)
+            else:
+                body = jax.checkpoint(body)
         state = jax.lax.fori_loop(0, cfg.refmax, body, state,
                                   unroll=unroll)
 
