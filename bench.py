@@ -622,12 +622,21 @@ def bench_backward(scene, cam, args, w, h):
                                 repeats=max(2, args.repeats // 2))
     pid_seq = rec_fn(params)
 
+    from raytracer_js_tpu.kernels import replay_grad
+
+    use_kernel = replay_grad.supports(scene, cfg)
+
     def loss_replay(params, pid_seq):
         sc = rebuild(params)
-        refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n,))
-        st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
-                        pid_seq=pid_seq)
-        return jnp.sum((st.color - target) ** 2) / n
+        if use_kernel:
+            # fused forward+backward Pallas replay kernels (custom VJP)
+            colors = replay_grad.replay_colors(sc, cfg, org, dirs, pid_seq)
+        else:
+            refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n,))
+            st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,
+                            pid_seq=pid_seq)
+            colors = st.color
+        return jnp.sum((colors - target) ** 2) / n
 
     fn_r = jax.jit(jax.value_and_grad(loss_replay))
     dt_r, times_r = _time_sustained(lambda p: fn_r(p, pid_seq), params,
@@ -639,6 +648,7 @@ def bench_backward(scene, cam, args, w, h):
         "vs_baseline": None,   # BASELINE: "measured & reported"
         "detail": {"w": w, "h": h, "refmax": cfg.refmax,
                    "spheres": args.spheres, "mode": "replay",
+                   "replay_kernel": bool(use_kernel),
                    "replay_s": dt_r, "replay_times_s": times_r,
                    "record_s": dt_rec,
                    "search_rays_per_s": w * h / dt_s,

@@ -160,6 +160,51 @@ class OctreeConfig:
     max_entities_per_node: int = 64
 
 
+#: Performance-tunable registry. Every ``RT_*`` environment knob in the
+#: package, its FROZEN default (the measured-best value from the perf
+#: ledger in CLAUDE.md — a fresh checkout with zero env vars set runs at
+#: the benchmarked configuration), and whether it is experimental.
+#: All knobs are read at IMPORT or TRACE time: changing one after a jit
+#: cache is warm has no effect on already-compiled programs.
+#:
+#: ====================  =======  ============  =============================
+#: env var               default  status        measured basis
+#: ====================  =======  ============  =============================
+#: RT_FUSE_SUB           32       frozen        r1 sweep: 32 -> 3.69 ms/frame
+#: RT_NH_BLOCK_R         512      frozen        r4 exp_blockr: 406 ms config4
+#: RT_NH_CHUNK_T         4        frozen        r4 exp_chunkt sweep
+#: RT_TILED_MIN_PRIMS    2048     frozen        r4 exp_c3 crossover
+#: RT_TILE_SUB           32       frozen        r2 tiled kernel sweep
+#: RT_WAVE_SUB           8        frozen        r2 packet-round sweep
+#: RT_TILED_SEG          128      frozen        r3 segment-cond compaction
+#: RT_TILE_CHUNK         16       frozen        r2 candidate seg alignment
+#: RT_FRAME_SHORT_MIN    12       frozen        r2 frame-shortlist crossover
+#: RT_SHORTLIST_MIN      4096     frozen        r1: shortlists lose at <=50
+#: RT_SWEEP_CULL         off      experimental  r3: cull REGRESSED (1.15 s
+#:                                              vs 0.93 s) — opt-in only
+#: RT_GATHER_SPLIT       off      experimental  forward-only precision (see
+#:                                              ops/gather.onehot_gather)
+#: RT_REPLAY_CKPT        off      experimental  r4 exp_backward: default
+#:                                              (no ckpt) measured best
+#: RT_NO_SHORTLIST /     off      debug         disable-path switches for
+#: RT_NO_FRAME_KERNEL /                         A/B measurements only
+#: RT_NO_FRAME_SHORT
+#: ====================  =======  ============  =============================
+
+
+def tunables() -> dict:
+    """Current values of every perf tunable (for bench JSON provenance)."""
+    import os
+
+    names = ["RT_FUSE_SUB", "RT_NH_BLOCK_R", "RT_NH_CHUNK_T",
+             "RT_TILED_MIN_PRIMS", "RT_TILE_SUB", "RT_WAVE_SUB",
+             "RT_TILED_SEG", "RT_TILE_CHUNK", "RT_FRAME_SHORT_MIN",
+             "RT_SHORTLIST_MIN", "RT_SWEEP_CULL", "RT_GATHER_SPLIT",
+             "RT_REPLAY_CKPT", "RT_NO_SHORTLIST", "RT_NO_FRAME_KERNEL",
+             "RT_NO_FRAME_SHORT"]
+    return {k: os.environ[k] for k in names if k in os.environ}
+
+
 @dataclasses.dataclass(frozen=True)
 class ToneMapConfig:
     """Dynamic-range windowing (reference tone_mapping.ts:35-79)."""

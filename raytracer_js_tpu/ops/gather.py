@@ -87,7 +87,11 @@ def onehot_gather(idx: Array, cat: Array) -> Array:
     exact in bf16 (entries are 0/1), so ``oh_bf16 @ (hi + mid + lo)`` with
     f32 accumulation reproduces each selected row to ~1 ulp f32 with DEFAULT
     precision matmuls (3 MXU passes instead of HIGHEST's 6, and a bf16
-    one-hot operand at half the stream width).
+    one-hot operand at half the stream width). FORWARD-ONLY: the autodiff
+    transpose of these DEFAULT-precision dots bf16-rounds the f32 cotangent
+    flowing to the table (~0.4% — exactly the corruption the HIGHEST rule
+    exists to prevent), and int columns lose the exact-roundtrip guarantee.
+    Do not benchmark or fit gradients with this flag set.
     """
     import os
 

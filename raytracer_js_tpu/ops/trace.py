@@ -243,6 +243,11 @@ def prim_rows(scene: Scene):
         (rgb,) = gather_cols(scene.prim_texture, scene.textures.solid_rgb)
         cols.append(rgb)
     grad_tab = jnp.concatenate(cols, axis=1)
+    # disc_tab roundtrips ints through the f32 one-hot matmul — apply the
+    # same 2^24 exactness guard gather_cols applies to its int tables
+    from .gather import _check_int_exact
+
+    _check_int_exact(scene.prim_texture)
     disc_tab = jnp.concatenate(
         [light.astype(f32)[:, None], mirror.astype(f32)[:, None],
          response.astype(f32)[:, None],
@@ -474,7 +479,7 @@ def sky_color(scene: Scene, dir: Array) -> Array:
 
 def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
             rng, bounce: Array, pid_override: Array | None = None,
-            prows: Array | None = None) -> RayState:
+            prows: Tuple[Array, Array] | None = None) -> RayState:
     """One wavefront pass: traverse -> intersect -> shade -> respawn.
 
     ``pid_override`` [N] replaces the nearest-hit SEARCH with a given
@@ -713,11 +718,13 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                                pid_override=pid_seq[:, b], prows=prows)
             return _bounce(scene, cfg, accel, st, rng, b, prows=prows)
 
-        # Experimental (read at trace time): RT_REPLAY_CKPT=plain|dots
-        # checkpoints each unrolled replay bounce WITHOUT the flat-packed
-        # carries of cfg.remat — residuals shrink to the per-bounce RayState
-        # (plain) or to the gather-matmul outputs (dots), trading HBM
-        # residual traffic for recompute in the VJP.
+        # Experimental (read at TRACE time, like every RT_* knob — see
+        # config.py tunable registry: a warm jit cache silently ignores a
+        # changed value): RT_REPLAY_CKPT=plain|dots checkpoints each
+        # unrolled replay bounce WITHOUT the flat-packed carries of
+        # cfg.remat — residuals shrink to the per-bounce RayState (plain)
+        # or to the gather-matmul outputs (dots), trading HBM residual
+        # traffic for recompute in the VJP.
         import os
         ck = os.environ.get("RT_REPLAY_CKPT", "")
         if pid_seq is not None and ck:
