@@ -30,11 +30,14 @@ winners are SUPPLIED (pid_seq), and the search result is stop_gradient'ed
 in the XLA path anyway (raytracer.ts:166-277 via the scalar oracle).
 
 shard_map note: a custom_vjp has no varying-axes rule, so the automatic
-psum for replicated-table cotangents cannot fire inside shard_map (the r4
-finding that rejected a custom_vjp for ops/gather). Callers under a mesh
-either keep the XLA replay path or call this kernel per shard and psum the
-returned gradients EXPLICITLY (optim/fit wires the latter; bitwise-equal
-grads either way since the per-shard sums are exact).
+psum for replicated-table cotangents cannot fire THROUGH it inside
+shard_map (the r4 finding that rejected a custom_vjp for ops/gather), and
+the kernel-internal jaxpr trips the vma checker in interpret mode.
+Sharded callers therefore run the replay step under
+``shard_map(..., check_vma=False)`` and psum the per-shard gradients
+EXPLICITLY — the total is bitwise the same as the implicit psum of the
+XLA path (optim/fit wires this; tests assert sharded == unsharded
+losses across fit steps).
 """
 from __future__ import annotations
 
@@ -610,8 +613,15 @@ def _pack_tables(sph_c, sph_r, sph_rgb, mode_s, box_c, box_h, box_rgb,
     return sph, box, sky, s_pad, b_pad
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _fwd_call(cols, pid_planes, sph, box, sky, meta, interpret=False):
+def _sds(shape, dtype, vma):
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset(vma))
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "vma"))
+def _fwd_call(cols, pid_planes, sph, box, sky, meta, interpret=False,
+              vma=None):
     n_sph, n_box, s_pad, b_pad, refmax, atten = meta
     rows = cols[0].shape[0]
     grid = (rows // RG_SUB,)
@@ -626,13 +636,14 @@ def _fwd_call(cols, pid_planes, sph, box, sky, meta, interpret=False):
         kern, grid=grid,
         in_specs=[ray] * (6 + refmax) + [full(sph), full(box), full(sky)],
         out_specs=[ray] * 3,
-        out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), jnp.float32)] * 3,
+        out_shape=[_sds((rows, SP_LANE), jnp.float32, vma)] * 3,
         interpret=interpret,
     )(*cols, *pid_planes, sph, box, sky)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, interpret=False):
+@functools.partial(jax.jit, static_argnames=("meta", "interpret", "vma"))
+def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, interpret=False,
+              vma=None):
     n_sph, n_box, s_pad, b_pad, refmax, atten = meta
     rows = cols[0].shape[0]
     grid = (rows // RG_SUB,)
@@ -652,10 +663,10 @@ def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, interpret=False):
         + [ray] * 3,
         out_specs=[ray] * 6 + [acc((s_pad, SP_LANE)), acc((b_pad, SP_LANE)),
                                acc((8, SP_LANE))],
-        out_shape=[jax.ShapeDtypeStruct((rows, SP_LANE), f32)] * 6
-        + [jax.ShapeDtypeStruct((s_pad, SP_LANE), f32),
-           jax.ShapeDtypeStruct((b_pad, SP_LANE), f32),
-           jax.ShapeDtypeStruct((8, SP_LANE), f32)],
+        out_shape=[_sds((rows, SP_LANE), f32, vma)] * 6
+        + [_sds((s_pad, SP_LANE), f32, vma),
+           _sds((b_pad, SP_LANE), f32, vma),
+           _sds((8, SP_LANE), f32, vma)],
         interpret=interpret,
     )(*cols, *pid_planes, sph, box, sky, *gcol)
 
@@ -681,7 +692,8 @@ def _prep(org, dir, pid_seq, refmax):
     return cols, pid_planes, n, n_pad
 
 
-def _make_replay_fn(refmax: int, atten: float, interpret: bool):
+def _make_replay_fn(refmax: int, atten: float, interpret: bool,
+                    vma: tuple | None):
     """custom_vjp'd replay-color function for a static (refmax, atten).
 
     All array arguments are f32 (pid_seq/modes ride as exact f32 so the
@@ -704,7 +716,7 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool):
         meta = (sph_c.shape[0], box_c.shape[0], s_pad, b_pad, refmax,
                 atten)
         cr, cg, cb = _fwd_call(cols, pid_planes, sph, box, sky, meta,
-                               interpret=interpret)
+                               interpret=interpret, vma=vma)
         color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                            cb.reshape(-1)[:n]], axis=-1)
         res = (sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb, sky_rgb,
@@ -725,7 +737,7 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool):
         meta = (sph_c.shape[0], box_c.shape[0], s_pad, b_pad, refmax,
                 atten)
         outs = _bwd_call(cols, pid_planes, sph, box, sky, gplanes, meta,
-                         interpret=interpret)
+                         interpret=interpret, vma=vma)
         gox, goy, goz, gdx, gdy, gdz, gsph, gbox, gsky = outs
         n_s, n_b = sph_c.shape[0], box_c.shape[0]
         g_org = jnp.stack([gox.reshape(-1)[:n], goy.reshape(-1)[:n],
@@ -750,20 +762,24 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool):
 
 
 @functools.lru_cache(maxsize=16)
-def _cached_replay_fn(refmax: int, atten: float, interpret: bool):
-    return _make_replay_fn(refmax, atten, interpret)
+def _cached_replay_fn(refmax: int, atten: float, interpret: bool,
+                      vma: tuple | None):
+    return _make_replay_fn(refmax, atten, interpret, vma)
 
 
 def replay_colors(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
-                  pid_seq: Array, interpret: bool | None = None) -> Array:
+                  pid_seq: Array, interpret: bool | None = None,
+                  vma: tuple | None = None) -> Array:
     """Differentiable replay-trace colors [N, 3] via the fused Pallas
     forward/backward kernels.
 
     Drop-in for ``trace_rays(..., pid_seq=...).color`` on the supported
     class (caller must check :func:`supports`); gradients to every Scene
     float leaf and to org/dir (camera pose) match the XLA replay path.
-    NOT for use inside shard_map (see module docstring) — sharded callers
-    psum the returned per-shard gradients explicitly.
+    Inside shard_map, use ``check_vma=False`` on the shard_map and psum
+    the returned per-shard gradients EXPLICITLY (see module docstring;
+    optim/fit wires this). ``vma`` tags the kernel outputs when a caller
+    runs under a vma-checked shard_map instead.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -782,7 +798,8 @@ def replay_colors(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
     fn = _cached_replay_fn(int(cfg.refmax),
                            float(cfg.distance_attenuation_factor),
-                           bool(interpret))
+                           bool(interpret),
+                           tuple(vma) if vma else None)
     return fn(scene.sphere_center, scene.sphere_radius, prim_rgb[:s_end],
               scene.box_center, scene.box_half, prim_rgb[s_end:],
               sky_rgb, mode[:s_end], mode[s_end:],

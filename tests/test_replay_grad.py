@@ -102,6 +102,29 @@ def test_grads_match_xla_replay(refmax):
                                rtol=2e-4, atol=2e-6)
 
 
+def test_sharded_fit_replay_kernel_matches_unsharded():
+    """The kernel replay step composes with the mesh: params marked
+    device-varying + explicit psum == the implicit-psum XLA semantics."""
+    from raytracer_js_tpu.optim import FitConfig, fit
+    from raytracer_js_tpu.parallel import make_mesh
+    from raytracer_js_tpu.render import render_rays
+
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    scene_true = _scene(seed=5, n_sph=4)
+    cams = [make_camera((0.0, 0.0, 0.5), 32, 32, np.pi / 2, np.pi / 2)]
+    key = jax.random.key(2)
+    org, dirs = pixel_rays(cams[0])
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    targets = jnp.stack([render_rays(scene_true, cfg, org, dirs, key, rid)])
+
+    start = _scene(seed=7, n_sph=4)
+    fc = FitConfig(steps=3, lr=1e-2, replay_every=1)
+    r_plain = fit(start, cfg, cams, targets, fc, key=key)
+    r_mesh = fit(start, cfg, cams, targets, fc, key=key, mesh=make_mesh())
+    np.testing.assert_allclose(r_mesh.losses, r_plain.losses,
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_supports_gates():
     scene = _scene()
     assert replay_grad.supports(scene, RenderConfig(refmax=2))
