@@ -60,6 +60,12 @@ RG_SUB = 32
 #: primitive-count ceiling for the in-kernel pick/scatter scans; above it
 #: the per-ray P-scan loses to the XLA one-hot MXU path (callers fall back)
 SCAN_MAX_PRIMS = 192
+#: sphere-count ceiling for the LISTED mode (per-tile compact id lists —
+#: the cotangent accumulator block is [s_pad, 128] f32 resident VMEM)
+LISTED_MAX_SPHERES = 16384
+#: worst-tile distinct-sphere ceiling for the listed scans; lists longer
+#: than this mean the tile pick degenerates toward the full-P scan
+LISTED_MAX_LEN = 2048
 
 _INF = float(np.inf)
 _SLAB_EPS = 1e-12           # ops/intersect.SLAB_DIR_EPS
@@ -90,9 +96,15 @@ def _safe_inv(d):
     return 1.0 / d_safe
 
 
-def _pick_rows(sph_ref, box_ref, pidc, n_sph, n_box, s_pad, b_pad, shape):
+def _pick_rows(sph_ref, box_ref, pidc, n_sph, n_box, s_pad, b_pad, shape,
+               tab_ref=None, trow=0):
     """Per-ray unified row by pid-match scan (the trace_fused winner-pick
-    idiom): ga(3) = center, gb(3) = (radius,0,0)|half, rgb(3), mode."""
+    idiom): ga(3) = center, gb(3) = (radius,0,0)|half, rgb(3), mode.
+
+    With ``tab_ref`` (LISTED mode) the sphere scan runs over this tile's
+    compact id list (SMEM window row ``trow``: word 0 = count, then global
+    sphere ids) instead of all ``n_sph`` — every pid recorded for a tile
+    ray is in the list by construction, so the pick is exact."""
     zero = jnp.zeros(shape, jnp.float32)
     acc = (zero,) * 10
 
@@ -123,8 +135,13 @@ def _pick_rows(sph_ref, box_ref, pidc, n_sph, n_box, s_pad, b_pad, shape):
                 jnp.where(m, _row(box_ref, 8 * b_pad, p), tb),
                 jnp.where(m, _row(box_ref, 9 * b_pad, p), mo))
 
-    acc = jax.lax.fori_loop(0, n_sph, sph_pick, acc,
-                            unroll=n_sph if n_sph <= 128 else 1)
+    if tab_ref is not None:
+        acc = jax.lax.fori_loop(
+            0, tab_ref[trow, 0],
+            lambda j, a: sph_pick(tab_ref[trow, 1 + j], a), acc)
+    else:
+        acc = jax.lax.fori_loop(0, n_sph, sph_pick, acc,
+                                unroll=n_sph if n_sph <= 128 else 1)
     acc = jax.lax.fori_loop(0, n_box, box_pick, acc,
                             unroll=n_box if n_box <= 128 else 1)
     return acc
@@ -181,22 +198,22 @@ def _box_fwd(ox, oy, oz, dx, dy, dz, cx, cy, cz, hx, hy, hz):
     t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
     entering = t_enter >= 0.0
     t = jnp.where(entering, t_enter, t_exit)
-    # winning axis, x > y > z tie order (argmax/argmin semantics)
+    # winning axis, x > y > z tie order (argmax/argmin semantics).
+    # Boolean logic only — Mosaic cannot lower selects BETWEEN i1 vectors
+    ne = ~entering
     wex = t0x == t_enter
     wey = (t0y == t_enter) & ~wex
-    wez = ~wex & ~wey
     wxx = t1x == t_exit
     wxy = (t1y == t_exit) & ~wxx
-    wxz = ~wxx & ~wxy
-    wx = jnp.where(entering, wex, wxx)
-    wy = jnp.where(entering, wey, wxy)
-    wz = jnp.where(entering, wez, wxz)
+    wx = (entering & wex) | (ne & wxx)
+    wy = (entering & wey) | (ne & wxy)
+    wz = ~wx & ~wy
     # on the winning axis: did the value come from the lo slab (ta)?
     # entering -> min picked ta iff ta <= tb; exiting -> max picked ta iff
     # ta > tb (the tb-on-tie complement of the min select)
-    from_lo_x = jnp.where(entering, lo_x, ~lo_x)
-    from_lo_y = jnp.where(entering, lo_y, ~lo_y)
-    from_lo_z = jnp.where(entering, lo_z, ~lo_z)
+    from_lo_x = (entering & lo_x) | (ne & ~lo_x)
+    from_lo_y = (entering & lo_y) | (ne & ~lo_y)
+    from_lo_z = (entering & lo_z) | (ne & ~lo_z)
     sx = jnp.where(dx < 0.0, 1.0, -1.0)
     sy = jnp.where(dy < 0.0, 1.0, -1.0)
     sz = jnp.where(dz < 0.0, 1.0, -1.0)
@@ -214,7 +231,8 @@ def _box_fwd(ox, oy, oz, dx, dy, dz, cx, cy, cz, hx, hy, hz):
 
 
 def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
-               n_sph, n_box, s_pad, b_pad, refmax, atten):
+               n_sph, n_box, s_pad, b_pad, refmax, atten,
+               tab_ref=None, trow=0):
     """The replay forward bounce chain; returns (color, saves-per-bounce,
     final scalars) — every per-bounce intermediate the reverse sweep needs
     stays in registers."""
@@ -237,7 +255,8 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
         pidc = jnp.clip(pid, 0, n_sph + n_box - 1)
         is_s = pidc < n_sph
         (ax, ay, az, bx, by, bz, tr, tg, tb, mode) = _pick_rows(
-            sph_ref, box_ref, pidc, n_sph, n_box, s_pad, b_pad, shape)
+            sph_ref, box_ref, pidc, n_sph, n_box, s_pad, b_pad, shape,
+            tab_ref=tab_ref, trow=trow)
         sf = _sphere_fwd(ox, oy, oz, dx, dy, dz, ax, ay, az, bx)
         bf = _box_fwd(ox, oy, oz, dx, dy, dz, ax, ay, az, bx, by, bz)
         t = jnp.where(is_s, sf["t"], bf["t"])
@@ -303,14 +322,19 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
 
 
 def _fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                *rest, n_sph, n_box, s_pad, b_pad, refmax, atten):
+                *rest, n_sph, n_box, s_pad, b_pad, refmax, atten,
+                listed):
     pid_refs = rest[:refmax]
-    sph_ref, box_ref, sky_ref, cr_ref, cg_ref, cb_ref = rest[refmax:]
+    rest = rest[refmax:]
+    tab_ref = None
+    if listed:
+        tab_ref, rest = rest[0], rest[1:]
+    sph_ref, box_ref, sky_ref, cr_ref, cg_ref, cb_ref = rest
     pids = [p[:] for p in pid_refs]
     (cr, cg, cb), _, _ = _fwd_sweep(
         ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
         pids, sph_ref, box_ref, sky_ref, n_sph, n_box, s_pad, b_pad,
-        refmax, atten)
+        refmax, atten, tab_ref=tab_ref, trow=pl.program_id(0) % 8)
     cr_ref[:, :] = cr
     cg_ref[:, :] = cg
     cb_ref[:, :] = cb
@@ -326,11 +350,17 @@ def _lane_row(vals):
 
 
 def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                *rest, n_sph, n_box, s_pad, b_pad, refmax, atten):
+                *rest, n_sph, n_box, s_pad, b_pad, refmax, atten,
+                listed):
     pid_refs = rest[:refmax]
+    rest = rest[refmax:]
+    tab_ref = None
+    if listed:
+        tab_ref, rest = rest[0], rest[1:]
+    trow = pl.program_id(0) % 8
     (sph_ref, box_ref, sky_ref, gr_ref, gg_ref, gb_ref,
      gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
-     gsph_ref, gbox_ref, gsky_ref) = rest[refmax:]
+     gsph_ref, gbox_ref, gsky_ref) = rest
 
     # zero the accumulated table outputs on the first program (sequential
     # single-core grid; the block is revisited by every program)
@@ -345,7 +375,8 @@ def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     pids = [p[:] for p in pid_refs]
     _, saves, fin = _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref,
                                box_ref, sky_ref, n_sph, n_box, s_pad,
-                               b_pad, refmax, atten)
+                               b_pad, refmax, atten,
+                               tab_ref=tab_ref, trow=trow)
     sky_r = sky_ref[0:1, :]
     sky_g = sky_ref[1:2, :]
     sky_b = sky_ref[2:3, :]
@@ -577,8 +608,13 @@ def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 gbox_ref[pl.ds(p, 1), :] = cur + row
             return 0
 
-        jax.lax.fori_loop(0, n_sph, sph_scatter, 0,
-                          unroll=n_sph if n_sph <= 128 else 1)
+        if listed:
+            jax.lax.fori_loop(
+                0, tab_ref[trow, 0],
+                lambda j, c: sph_scatter(tab_ref[trow, 1 + j], c), 0)
+        else:
+            jax.lax.fori_loop(0, n_sph, sph_scatter, 0,
+                              unroll=n_sph if n_sph <= 128 else 1)
         jax.lax.fori_loop(0, n_box, box_scatter, 0,
                           unroll=n_box if n_box <= 128 else 1)
 
@@ -620,47 +656,58 @@ def _sds(shape, dtype, vma):
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "vma"))
-def _fwd_call(cols, pid_planes, sph, box, sky, meta, interpret=False,
-              vma=None):
+def _fwd_call(cols, pid_planes, sph, box, sky, meta, tab=None,
+              interpret=False, vma=None):
     n_sph, n_box, s_pad, b_pad, refmax, atten = meta
+    listed = tab is not None
     rows = cols[0].shape[0]
     grid = (rows // RG_SUB,)
     kern = functools.partial(_fwd_kernel, n_sph=n_sph, n_box=n_box,
                              s_pad=s_pad, b_pad=b_pad, refmax=refmax,
-                             atten=atten)
+                             atten=atten, listed=listed)
     ray = pl.BlockSpec((RG_SUB, SP_LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
+    # per-tile id lists ride 8-row SMEM windows (Mosaic requires block
+    # sublane dims divisible by 8); program i reads row i % 8
+    tab_spec = ([pl.BlockSpec((8, tab.shape[1]), lambda i: (i // 8, 0),
+                              memory_space=pltpu.SMEM)] if listed else [])
+    tab_arg = (tab,) if listed else ()
     return pl.pallas_call(
         kern, grid=grid,
-        in_specs=[ray] * (6 + refmax) + [full(sph), full(box), full(sky)],
+        in_specs=[ray] * (6 + refmax) + tab_spec
+        + [full(sph), full(box), full(sky)],
         out_specs=[ray] * 3,
         out_shape=[_sds((rows, SP_LANE), jnp.float32, vma)] * 3,
         interpret=interpret,
-    )(*cols, *pid_planes, sph, box, sky)
+    )(*cols, *pid_planes, *tab_arg, sph, box, sky)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret", "vma"))
-def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, interpret=False,
-              vma=None):
+def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, tab=None,
+              interpret=False, vma=None):
     n_sph, n_box, s_pad, b_pad, refmax, atten = meta
+    listed = tab is not None
     rows = cols[0].shape[0]
     grid = (rows // RG_SUB,)
     kern = functools.partial(_bwd_kernel, n_sph=n_sph, n_box=n_box,
                              s_pad=s_pad, b_pad=b_pad, refmax=refmax,
-                             atten=atten)
+                             atten=atten, listed=listed)
     ray = pl.BlockSpec((RG_SUB, SP_LANE), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
     acc = lambda shp: pl.BlockSpec(shp, lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)
+    tab_spec = ([pl.BlockSpec((8, tab.shape[1]), lambda i: (i // 8, 0),
+                              memory_space=pltpu.SMEM)] if listed else [])
+    tab_arg = (tab,) if listed else ()
     f32 = jnp.float32
     return pl.pallas_call(
         kern, grid=grid,
-        in_specs=[ray] * (6 + refmax) + [full(sph), full(box), full(sky)]
-        + [ray] * 3,
+        in_specs=[ray] * (6 + refmax) + tab_spec
+        + [full(sph), full(box), full(sky)] + [ray] * 3,
         out_specs=[ray] * 6 + [acc((s_pad, SP_LANE)), acc((b_pad, SP_LANE)),
                                acc((8, SP_LANE))],
         out_shape=[_sds((rows, SP_LANE), f32, vma)] * 6
@@ -668,7 +715,7 @@ def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, interpret=False,
            _sds((b_pad, SP_LANE), f32, vma),
            _sds((8, SP_LANE), f32, vma)],
         interpret=interpret,
-    )(*cols, *pid_planes, sph, box, sky, *gcol)
+    )(*cols, *pid_planes, *tab_arg, sph, box, sky, *gcol)
 
 
 def _prep(org, dir, pid_seq, refmax):
@@ -693,39 +740,43 @@ def _prep(org, dir, pid_seq, refmax):
 
 
 def _make_replay_fn(refmax: int, atten: float, interpret: bool,
-                    vma: tuple | None):
+                    vma: tuple | None, listed: bool):
     """custom_vjp'd replay-color function for a static (refmax, atten).
 
-    All array arguments are f32 (pid_seq/modes ride as exact f32 so the
-    cotangent structure stays float-only); returns [N, 3] colors.
+    All array arguments are f32 (pid_seq/modes/tile_tab ride as exact f32
+    so the cotangent structure stays float-only); returns [N, 3] colors.
+    ``tile_tab`` is the per-tile compact sphere-id table of
+    :func:`build_tile_lists` (a dummy when ``listed`` is False).
     """
 
     @jax.custom_vjp
     def replay(sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb, sky_rgb,
-               mode_s, mode_b, org, dir, pid_seq):
+               mode_s, mode_b, org, dir, pid_seq, tile_tab):
         out, _ = _fwd(sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb,
-                      sky_rgb, mode_s, mode_b, org, dir, pid_seq)
+                      sky_rgb, mode_s, mode_b, org, dir, pid_seq,
+                      tile_tab)
         return out
 
     def _fwd(sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb, sky_rgb,
-             mode_s, mode_b, org, dir, pid_seq):
+             mode_s, mode_b, org, dir, pid_seq, tile_tab):
         sph, box, sky, s_pad, b_pad = _pack_tables(
             sph_c, sph_r, sph_rgb, mode_s, box_c, box_h, box_rgb, mode_b,
             sky_rgb)
         cols, pid_planes, n, _ = _prep(org, dir, pid_seq, refmax)
         meta = (sph_c.shape[0], box_c.shape[0], s_pad, b_pad, refmax,
                 atten)
+        tab = tile_tab.astype(jnp.int32) if listed else None
         cr, cg, cb = _fwd_call(cols, pid_planes, sph, box, sky, meta,
-                               interpret=interpret, vma=vma)
+                               tab=tab, interpret=interpret, vma=vma)
         color = jnp.stack([cr.reshape(-1)[:n], cg.reshape(-1)[:n],
                            cb.reshape(-1)[:n]], axis=-1)
         res = (sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb, sky_rgb,
-               mode_s, mode_b, org, dir, pid_seq)
+               mode_s, mode_b, org, dir, pid_seq, tile_tab)
         return color, res
 
     def _bwd(res, gcol):
         (sph_c, sph_r, sph_rgb, box_c, box_h, box_rgb, sky_rgb,
-         mode_s, mode_b, org, dir, pid_seq) = res
+         mode_s, mode_b, org, dir, pid_seq, tile_tab) = res
         sph, box, sky, s_pad, b_pad = _pack_tables(
             sph_c, sph_r, sph_rgb, mode_s, box_c, box_h, box_rgb, mode_b,
             sky_rgb)
@@ -736,8 +787,9 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool,
         gplanes = tuple(g[:, i].reshape(-1, SP_LANE) for i in range(3))
         meta = (sph_c.shape[0], box_c.shape[0], s_pad, b_pad, refmax,
                 atten)
+        tab = tile_tab.astype(jnp.int32) if listed else None
         outs = _bwd_call(cols, pid_planes, sph, box, sky, gplanes, meta,
-                         interpret=interpret, vma=vma)
+                         tab=tab, interpret=interpret, vma=vma)
         gox, goy, goz, gdx, gdy, gdz, gsph, gbox, gsky = outs
         n_s, n_b = sph_c.shape[0], box_c.shape[0]
         g_org = jnp.stack([gox.reshape(-1)[:n], goy.reshape(-1)[:n],
@@ -755,7 +807,8 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool,
         zb = jnp.zeros_like(mode_b)
         zp = jnp.zeros_like(pid_seq)
         return (g_sph_c, g_sph_r, g_sph_rgb, g_box_c, g_box_h, g_box_rgb,
-                g_sky, zs, zb, g_org, g_dir, zp)
+                g_sky, zs, zb, g_org, g_dir, zp,
+                jnp.zeros_like(tile_tab))
 
     replay.defvjp(_fwd, _bwd)
     return replay
@@ -763,13 +816,70 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool,
 
 @functools.lru_cache(maxsize=16)
 def _cached_replay_fn(refmax: int, atten: float, interpret: bool,
-                      vma: tuple | None):
-    return _make_replay_fn(refmax, atten, interpret, vma)
+                      vma: tuple | None, listed: bool):
+    return _make_replay_fn(refmax, atten, interpret, vma, listed)
+
+
+def supports_listed(scene: Scene, cfg: RenderConfig) -> bool:
+    """Eligibility for the LISTED kernels: same restricted class, but the
+    prim count is bounded by what the [s_pad, 128] cotangent accumulator
+    and the per-tile lists afford instead of the full-P scan."""
+    return (not scene.textures.has_images and scene.sky_box is None
+            and not scene.has_rough and not scene.has_transmission
+            and scene.n_tris == 0 and 0 < scene.n_prims
+            and scene.n_spheres <= LISTED_MAX_SPHERES
+            and scene.n_boxes <= SCAN_MAX_PRIMS
+            and cfg.refmax <= 4 and cfg.spp == 1)
+
+
+def build_tile_lists(pid_seq, n_sph: int) -> np.ndarray | None:
+    """Per-ray-tile compact sphere-id lists from a CONCRETE recording ->
+    i32 [T_pad8, 1 + L_pad] (word 0 = count, then ascending global sphere
+    ids), or None when some tile's distinct-id count exceeds
+    LISTED_MAX_LEN (the listed scan would degenerate — fall back).
+
+    Host-side numpy (runs once per recording, on materialized pid_seq):
+    spatially coherent ray tiles touch only a handful of distinct
+    primitives even in large scenes, so the in-kernel pick/scatter scans
+    cost O(distinct-per-tile), independent of the table size. ``L_pad``
+    rounds up to a power of two so the jit/kernel cache survives small
+    recording-to-recording fluctuations."""
+    pid = np.asarray(pid_seq)
+    if pid.dtype != np.int32:
+        pid = pid.astype(np.int64)
+    n, r = pid.shape
+    quant = RG_SUB * SP_LANE
+    n_pad = -(-n // quant) * quant
+    if n_pad != n:
+        pid = np.concatenate(
+            [pid, np.full((n_pad - n, r), -1, pid.dtype)], axis=0)
+    t = n_pad // quant
+    flat = pid.reshape(t, quant * r).astype(np.int64)
+    flat = np.where((flat >= 0) & (flat < n_sph), flat, -1)
+    srt = np.sort(flat, axis=1)
+    prev = np.concatenate([np.full((t, 1), -2, srt.dtype), srt[:, :-1]],
+                          axis=1)
+    uniq = (srt >= 0) & (srt != prev)
+    cnt = uniq.sum(axis=1)
+    l_max = int(cnt.max()) if t else 0
+    if l_max > LISTED_MAX_LEN:
+        return None
+    l_pad = 1
+    while l_pad < max(l_max, 8):
+        l_pad *= 2
+    t_pad = -(-t // 8) * 8
+    tab = np.zeros((t_pad, 1 + l_pad), np.int32)
+    tab[:t, 0] = cnt
+    rows, cols = np.nonzero(uniq)
+    pos = (uniq.cumsum(axis=1) - 1)[rows, cols]
+    tab[rows, 1 + pos] = srt[rows, cols]
+    return tab
 
 
 def replay_colors(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                   pid_seq: Array, interpret: bool | None = None,
-                  vma: tuple | None = None) -> Array:
+                  vma: tuple | None = None,
+                  tile_lists: np.ndarray | None = None) -> Array:
     """Differentiable replay-trace colors [N, 3] via the fused Pallas
     forward/backward kernels.
 
@@ -796,11 +906,14 @@ def replay_colors(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
     prim_rgb = gather_rows(scene.textures.solid_rgb, scene.prim_texture)
     s_end = scene.n_spheres
     sky_rgb = scene.textures.solid_rgb[scene.sky_tex]
+    listed = tile_lists is not None
     fn = _cached_replay_fn(int(cfg.refmax),
                            float(cfg.distance_attenuation_factor),
                            bool(interpret),
-                           tuple(vma) if vma else None)
+                           tuple(vma) if vma else None, listed)
+    tab = (jnp.asarray(tile_lists, jnp.float32) if listed
+           else jnp.zeros((8, 2), jnp.float32))
     return fn(scene.sphere_center, scene.sphere_radius, prim_rgb[:s_end],
               scene.box_center, scene.box_half, prim_rgb[s_end:],
               sky_rgb, mode[:s_end], mode[s_end:],
-              org, dir, pid_seq.astype(jnp.float32))
+              org, dir, pid_seq.astype(jnp.float32), tab)

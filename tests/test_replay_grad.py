@@ -102,6 +102,46 @@ def test_grads_match_xla_replay(refmax):
                                rtol=2e-4, atol=2e-6)
 
 
+def test_listed_mode_matches_xla_replay():
+    """LISTED kernels (per-tile compact sphere-id lists) reproduce the
+    same colors and gradients as the full-scan kernels / XLA replay."""
+    scene = _scene(seed=11, n_sph=37)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE, unroll=True)
+    org, dirs = _rays()
+    n = org.shape[0]
+    rid = jnp.arange(n, dtype=jnp.int32)
+    key = jax.random.key(0)
+    rec = record_paths(scene, cfg, org, dirs, key, rid)
+    tab = replay_grad.build_tile_lists(np.asarray(rec), scene.n_spheres)
+    assert tab is not None and tab[:, 0].max() >= 1
+    params, rebuild = float_partition(scene)
+    target = jnp.zeros((n, 3), jnp.float32)
+
+    def loss_xla(params, org, dirs):
+        st = trace_rays(rebuild(params), cfg, org, dirs, key, rid,
+                        pid_seq=rec)
+        return jnp.sum((st.color - target) ** 2) / n
+
+    def loss_kern(params, org, dirs):
+        col = replay_grad.replay_colors(rebuild(params), cfg, org, dirs,
+                                        rec, interpret=True,
+                                        tile_lists=tab)
+        return jnp.sum((col - target) ** 2) / n
+
+    l0, g0 = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(
+        params, org, dirs)
+    l1, g1 = jax.value_and_grad(loss_kern, argnums=(0, 1, 2))(
+        params, org, dirs)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(g0[0], g1[0]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(g1[2]), np.asarray(g0[2]),
+                               rtol=2e-4, atol=2e-6)
+
+
 def test_sharded_fit_replay_kernel_matches_unsharded():
     """The kernel replay step composes with the mesh: params marked
     device-varying + explicit psum == the implicit-psum XLA semantics."""
