@@ -625,12 +625,21 @@ def bench_backward(scene, cam, args, w, h):
     from raytracer_js_tpu.kernels import replay_grad
 
     use_kernel = replay_grad.supports(scene, cfg)
+    tile_lists = None
+    if not use_kernel and replay_grad.supports_listed(scene, cfg):
+        # big prim tables: per-tile compact sphere-id lists make the
+        # in-kernel pick/scatter cost O(distinct-per-tile), not O(P);
+        # rebuilt host-side from each concrete recording
+        tile_lists = replay_grad.build_tile_lists(np.asarray(pid_seq),
+                                                  scene.n_spheres)
+        use_kernel = tile_lists is not None
 
     def loss_replay(params, pid_seq):
         sc = rebuild(params)
         if use_kernel:
             # fused forward+backward Pallas replay kernels (custom VJP)
-            colors = replay_grad.replay_colors(sc, cfg, org, dirs, pid_seq)
+            colors = replay_grad.replay_colors(sc, cfg, org, dirs, pid_seq,
+                                               tile_lists=tile_lists)
         else:
             refr0 = jnp.broadcast_to(start_substance(sc, org[0]), (n,))
             st = trace_rays(sc, cfg, org, dirs, key, rid, start_refr=refr0,

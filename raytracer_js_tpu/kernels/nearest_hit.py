@@ -113,7 +113,8 @@ CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
 
 
 def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
-                               n_tri, n_rays, sph_listed, tri_listed):
+                               n_tri, n_rays, sph_listed, tri_listed,
+                               sph_fan=1, tri_fan=1):
     # refs layout: [ids_s, tlo_s]? + [ids_t, tlo_t]? + org, dir, sph, box,
     # tri, t_out, pid_out — presence of the list pairs is static
     k = 0
@@ -143,14 +144,15 @@ def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
                            n_tri=n_tri, n_rays=n_rays, ids_ref=ids_ref,
                            tlo_ref=tlo_ref, ids_t_ref=ids_t_ref,
                            tlo_t_ref=tlo_t_ref, bbox_ref=bbox_ref,
-                           ids_row=ids_row)
+                           ids_row=ids_row, sph_fan=sph_fan,
+                           tri_fan=tri_fan)
 
 
 def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        t_ref, pid_ref, *, n_sph, n_box, n_tri, n_rays,
                        tb_ref=None, nl_ref=None, ids_ref=None,
                        tlo_ref=None, ids_t_ref=None, tlo_t_ref=None,
-                       bbox_ref=None, ids_row=0):
+                       bbox_ref=None, ids_row=0, sph_fan=1, tri_fan=1):
     ox = org_ref[:, 0:1]
     oy = org_ref[:, 1:2]
     oz = org_ref[:, 2:3]
@@ -264,7 +266,12 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
             exit_axis(oz, iz, lo_z, hi_z))                   # [R, 1]
         t_cap = jnp.maximum(t_exit, 0.0) * (1.0 + 1e-4) + 1e-3
 
-        def listed_scan(ids_r, tlo_r, math_fn, best):
+        def listed_scan(ids_r, tlo_r, math_fn, best, fan=1):
+            # ``fan`` > 1: ids index SUPERTILES of ``fan`` consecutive
+            # 128-prim tiles (granularity chosen so the id table fits its
+            # SMEM window at any prim count — render_tiled._sweep_perm);
+            # the inner expansion is static, so streaming stays
+            # cond-free between the per-chunk exit checks
             t_pad = tlo_r.shape[1]
 
             def chunk_cond(carry):
@@ -276,7 +283,9 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                 j, t_best, pid_best = carry
                 b = (t_best, pid_best)
                 for k in range(CHUNK_T):
-                    b = math_fn(ids_r[ids_row, j + k] * BLOCK_K, b)
+                    base = ids_r[ids_row, j + k] * (BLOCK_K * fan)
+                    for f in range(fan):
+                        b = math_fn(base + f * BLOCK_K, b)
                 return j + CHUNK_T, b[0], b[1]
 
             _, t_best, pid_best = jax.lax.while_loop(
@@ -286,7 +295,8 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         listed_scan = None
 
     if ids_ref is not None:
-        best = listed_scan(ids_ref, tlo_ref, sphere_math, best)
+        best = listed_scan(ids_ref, tlo_ref, sphere_math, best,
+                           fan=sph_fan)
     elif tb_ref is None:
         best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
                                  sphere_tile_body, best)
@@ -365,7 +375,8 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         return _update(best, jnp.where(valid, t, _INF), k0, n_sph + n_box)
 
     if ids_t_ref is not None:
-        best = listed_scan(ids_t_ref, tlo_t_ref, tri_math, best)
+        best = listed_scan(ids_t_ref, tlo_t_ref, tri_math, best,
+                           fan=tri_fan)
     else:
         best = jax.lax.fori_loop(0, pl.cdiv(n_tri, BLOCK_K),
                                  lambda k, b: tri_math(k * BLOCK_K, b),
@@ -389,16 +400,18 @@ def _pack_rows(*arrs, rows: int, pad_to: int) -> np.ndarray | Array:
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "sph_listed",
-                                             "tri_listed", "interpret"))
+                                             "tri_listed", "sph_fan",
+                                             "tri_fan", "interpret"))
 def _nearest_hit_call_listed(nl, bbox, lists, org, dir, sph, box, tri,
                              meta, sph_listed, tri_listed,
-                             interpret=False):
+                             sph_fan=1, tri_fan=1, interpret=False):
     n_sph, n_box, n_tri, n_rays = meta
     n_pad = org.shape[0]
     grid = (n_pad // BLOCK_R,)
     kern = functools.partial(_nearest_hit_kernel_listed, n_sph=n_sph,
                              n_box=n_box, n_tri=n_tri, n_rays=n_rays,
-                             sph_listed=sph_listed, tri_listed=tri_listed)
+                             sph_listed=sph_listed, tri_listed=tri_listed,
+                             sph_fan=sph_fan, tri_fan=tri_fan)
     list_specs = [
         pl.BlockSpec((8, a.shape[1]), lambda i: (i // 8, 0),
                      memory_space=pltpu.SMEM)
@@ -759,7 +772,8 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                        interpret: bool | None = None,
                        n_live: Array | None = None,
                        tile_bounds: Array | None = None,
-                       tile_ids=None, tri_tile_ids=None
+                       tile_ids=None, tri_tile_ids=None,
+                       sph_fan: int = 1, tri_fan: int = 1
                        ) -> Tuple[Array, Array]:
     """Drop-in for ops/trace.nearest_hit_brute -> (t [N], pid [N]).
 
@@ -783,7 +797,11 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     over-estimated t_lo is an exactness bug, not a perf bug).
     ``tri_tile_ids`` is the same contract for 128-TRIANGLE Morton tiles
     (mesh-heavy scenes — config 3's class); boxes always stream dense.
-    B must equal ceil(N / BLOCK_R).
+    B must equal ceil(N / BLOCK_R). ``sph_fan``/``tri_fan`` declare the
+    ids as SUPERTILE indices covering ``fan`` consecutive 128-prim tiles
+    (the SMEM id-window cap would otherwise exclude big tables — 1M
+    spheres is 7813 tiles; fan=4 lists 1954 supertiles), with t_lo the
+    supertile-granular conservative bound.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -794,16 +812,15 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
         org = jnp.pad(org, pad)
         dir = jnp.pad(dir, pad, constant_values=1.0)  # keep dirs nonzero
 
-    k_pad = max(BLOCK_K, 1)
-
-    def pad_k(x):
+    def pad_k(x, fan=1):
+        k_pad = BLOCK_K * max(fan, 1)
         return -(-max(x, 1) // k_pad) * k_pad
 
     c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
     sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
                      scene.sphere_center[:, 2],
                      c_dot_c - scene.sphere_radius ** 2,
-                     rows=4, pad_to=pad_k(scene.n_spheres))
+                     rows=4, pad_to=pad_k(scene.n_spheres, sph_fan))
     box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
                      scene.box_center[:, 2], scene.box_half[:, 0],
                      scene.box_half[:, 1], scene.box_half[:, 2],
@@ -811,7 +828,7 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
     tri = _pack_rows(scene.tri_v0[:, 0], scene.tri_v0[:, 1], scene.tri_v0[:, 2],
                      scene.tri_v1[:, 0], scene.tri_v1[:, 1], scene.tri_v1[:, 2],
                      scene.tri_v2[:, 0], scene.tri_v2[:, 1], scene.tri_v2[:, 2],
-                     rows=9, pad_to=pad_k(scene.n_tris))
+                     rows=9, pad_to=pad_k(scene.n_tris, tri_fan))
     meta = (scene.n_spheres, scene.n_boxes, scene.n_tris, n)
     nl = (jnp.full((1, 1), n, jnp.int32) if n_live is None
           else jnp.reshape(n_live, (1, 1)).astype(jnp.int32))
@@ -852,6 +869,8 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                                           sph_listed=tile_ids is not None,
                                           tri_listed=(tri_tile_ids
                                                       is not None),
+                                          sph_fan=sph_fan,
+                                          tri_fan=tri_fan,
                                           interpret=interpret)
         return t[:n], pid[:n]
     if tile_bounds is not None:

@@ -237,6 +237,12 @@ SWEEP_CULL = __import__("os").environ.get("RT_SWEEP_CULL", "0") == "1"
 SWEEP_LISTED = __import__("os").environ.get("RT_SWEEP_LISTED", "1") == "1"
 
 
+#: listed-cull id-table width cap (the [8, T] SMEM window budget); tables
+#: denser than LISTED_MAX_TILES 128-prim tiles get a supertile fan
+LISTED_MAX_TILES = int(__import__("os").environ.get("RT_LISTED_MAX_TILES",
+                                                    "2048"))
+
+
 def _block_tile_select(org: Array, dirs: Array, working: Array, tb: Array):
     """Per-ray-block conservative sphere-tile selection for the listed
     sweep kernel -> (ids [B, T] i32 in ascending-t_lo order,
@@ -312,16 +318,27 @@ def _sweep_perm(scene: Scene):
     """
     from .kernels.nearest_hit import BLOCK_K
 
-    def tile_bounds(c_p, r_p):
+    def class_fan(n):
+        # supertile fan: coarsen the listed granularity until the id
+        # table fits its [8, T] SMEM window (r4's 2048-tile cap) — this
+        # is what turns the listed cull + near-to-far exit ON for
+        # million-prim tables (r5; they were silently dense before)
+        fan = 1
+        while -(-(-(-n // BLOCK_K)) // fan) > LISTED_MAX_TILES:
+            fan *= 2
+        return fan
+
+    def tile_bounds(c_p, r_p, fan):
+        blk = BLOCK_K * fan
         n = c_p.shape[0]
-        T = -(-n // BLOCK_K)
-        pad = T * BLOCK_K - n
+        T = -(-n // blk)
+        pad = T * blk - n
         cp = (jnp.concatenate([c_p, jnp.broadcast_to(c_p[-1:], (pad, 3))])
               if pad else c_p)
         rp = (jnp.concatenate([r_p, jnp.zeros((pad,), r_p.dtype)])
               if pad else r_p)
-        cpt = cp.reshape(T, BLOCK_K, 3)
-        rpt = rp.reshape(T, BLOCK_K)
+        cpt = cp.reshape(T, blk, 3)
+        rpt = rp.reshape(T, blk)
         tc = 0.5 * (cpt.min(axis=1) + cpt.max(axis=1))
         tr = jnp.max(jnp.linalg.norm(cpt - tc[:, None], axis=-1) + rpt,
                      axis=1)
@@ -335,7 +352,8 @@ def _sweep_perm(scene: Scene):
         c_p = scene.sphere_center[perm]
         r_p = scene.sphere_radius[perm]
         scene_p = scene_p.replace(sphere_center=c_p, sphere_radius=r_p)
-        sph = (perm, tile_bounds(c_p, r_p))
+        fan = class_fan(scene.n_spheres)
+        sph = (perm, tile_bounds(c_p, r_p, fan), fan)
     if scene.n_tris >= 4 * BLOCK_K:
         cent = (scene.tri_v0 + scene.tri_v1 + scene.tri_v2) / 3.0
         code = _morton_key(scene, cent, bits=8)
@@ -349,7 +367,8 @@ def _sweep_perm(scene: Scene):
             jnp.maximum(jnp.linalg.norm(v0 - c_p, axis=-1),
                         jnp.linalg.norm(v1 - c_p, axis=-1)),
             jnp.linalg.norm(v2 - c_p, axis=-1))
-        tri = (perm, tile_bounds(c_p, r_p))
+        fan = class_fan(scene.n_tris)
+        tri = (perm, tile_bounds(c_p, r_p, fan), fan)
     if sph is None and tri is None:
         return None
     return scene_p, sph, tri
@@ -665,23 +684,27 @@ def _rescue_round(scene: Scene, cfg: RenderConfig, cols, bounce, refr,
             bounce_s[:cap] < cfg.refmax)
         if sweep_tab is not None:
             scene_s, sph_e, tri_e = sweep_tab
-            # listed cull needs [8, T] SMEM windows per program; past
-            # ~2048 tiles a class falls back to the DENSE stream (the
-            # in-kernel culled variant also SMEM-overflows there: tb
-            # [7813, 4] blew the 1 MB SMEM at 1M prims)
+            # listed cull: [8, T] SMEM id windows per program; supertile
+            # fans (_sweep_perm.class_fan) keep T <= 2048 at any prim
+            # count (r4's dense fallback past 2048 tiles cost config-5
+            # recordings the whole cull + near-to-far exit)
             kw = {}
             if SWEEP_LISTED:
-                # floor at 64 tiles: below it the per-chunk exit branches
-                # cost more than the dense stream saves (config 3's 41
-                # tri tiles measured 3.5e6 listed vs 4.5e6 dense)
-                if sph_e is not None and 64 <= sph_e[1].shape[0] <= 2048:
+                # floor at 64 (super)tiles: below it the per-chunk exit
+                # branches cost more than the dense stream saves (config
+                # 3's 41 tri tiles measured 3.5e6 listed vs 4.5e6 dense).
+                # Supertile fans (_sweep_perm) keep the id tables inside
+                # the 2048-entry SMEM window at ANY prim count
+                if sph_e is not None and sph_e[1].shape[0] >= 64:
                     kw["tile_ids"] = _block_tile_select(
                         org, dirs, work_sl, sph_e[1])
-                if tri_e is not None and 64 <= tri_e[1].shape[0] <= 2048:
+                    kw["sph_fan"] = sph_e[2]
+                if tri_e is not None and tri_e[1].shape[0] >= 64:
                     kw["tri_tile_ids"] = _block_tile_select(
                         org, dirs, work_sl, tri_e[1])
+                    kw["tri_fan"] = tri_e[2]
             if (not kw and SWEEP_CULL and sph_e is not None
-                    and sph_e[1].shape[0] <= 2048):
+                    and sph_e[2] == 1 and sph_e[1].shape[0] <= 2048):
                 kw["tile_bounds"] = sph_e[1]
             _t, pid = nearest_hit_pallas(scene_s, org, dirs, n_live=nl,
                                          **kw)

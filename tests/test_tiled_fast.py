@@ -188,3 +188,32 @@ def test_tiled_sweep_listed_cull_mesh():
     want = np.asarray(render_hdr(scene, cam, cfg))
     got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
     _check(got, diag, want)
+
+
+def test_sweep_supertile_fan_matches_brute(monkeypatch):
+    """Supertile listed cull (fan > 1 — the 1M-prim SMEM-cap regime,
+    forced here by shrinking LISTED_MAX_TILES) stays exact: sweep frames
+    equal the BRUTE wavefront."""
+    import raytracer_js_tpu.render_tiled as rtl
+
+    monkeypatch.setattr(rtl, "LISTED_MAX_TILES", 2)
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    rng = np.random.default_rng(13)
+    pal = [b.add_solid_texture(rng.uniform(0.2, 1.0, 3)) for _ in range(6)]
+    b.add_box((0.0, 0.0, -21.0), 40.0, diffuse, pal[0])
+    for i in range(700):
+        c = rng.uniform([2.0, -4.0, -0.5], [10.0, 4.0, 4.0], 3)
+        b.add_sphere(c, float(rng.uniform(0.05, 0.2)),
+                     mirror if i % 3 == 0 else diffuse, pal[i % 6])
+    scene = b.build()
+    sw = rtl._sweep_perm(scene)
+    assert sw is not None and sw[1][2] > 1   # the fan actually engages
+    w, h = tt.LANE, tt.TILE_SUB
+    cam = make_camera((0.0, 0.0, 0.5), w, h, np.pi / 2, np.pi / 2 * h / w)
+    cfg = RenderConfig(refmax=2, backend=HitBackend.BRUTE)
+    want = np.asarray(render_hdr(scene, cam, cfg))
+    got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
+    _check(got, diag, want)
