@@ -230,12 +230,41 @@ def _box_fwd(ox, oy, oz, dx, dy, dz, cx, cy, cz, hx, hy, hz):
                 nx=wxf * sx, ny=wyf * sy, nz=wzf * sz)
 
 
+def _zero_saves(shape):
+    """Structure-matched dummy save dict for liveness-skipped bounces.
+
+    All masks are 0.0 (the reverse then passes cotangents through
+    untouched and contributes nothing to any table), and every saved
+    divisor-like value is 1.0 so the masked reverse arithmetic stays
+    NaN-free (0 * (x / 0) would poison the lane otherwise)."""
+    z = jnp.zeros(shape, jnp.float32)
+    o = jnp.ones(shape, jnp.float32)
+    zi = jnp.zeros(shape, jnp.int32)
+    sf = dict(ocx=z, ocy=z, ocz=z, bh=z, a=o, c=z, posf=z, sq_inner=o,
+              inv_a=o, t_near=z, t_far=z, nf=z, t=z, px=z, py=z, pz=z,
+              r_okf=z, inv_rs=o, fs=o, nx=z, ny=z, nz=z)
+    bf = dict(ivx=z, ivy=z, ivz=z, t=z, wxf=z, wyf=z, wzf=z,
+              sgn_x=o, sgn_y=o, sgn_z=o, dokf_x=z, dokf_y=z, dokf_z=z,
+              nx=z, ny=z, nz=z)
+    return dict(dx=z, dy=z, dz=z,
+                col_r=z, col_g=z, col_b=z,
+                hitf=z, missf=z, contf=z, issf=z, pidc=zi,
+                t=z, px=z, py=z, pz=z, nx=z, ny=z, nz=z,
+                d_dot_n=z, ax=z, ay=z, az=z, bx=z, tr=z, tg=z, tb=z,
+                sf=sf, bf=bf, mcol_r=z, mcol_g=z, mcol_b=z)
+
+
 def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
                n_sph, n_box, s_pad, b_pad, refmax, atten,
-               tab_ref=None, trow=0):
-    """The replay forward bounce chain; returns (color, saves-per-bounce,
-    final scalars) — every per-bounce intermediate the reverse sweep needs
-    stays in registers."""
+               tab_ref=None, trow=0, need_saves=True):
+    """The replay forward bounce chain; returns ((r, g, b), saves, alives,
+    fin) — every per-bounce intermediate the reverse sweep needs stays in
+    registers. Bounces >= 1 run under a whole-tile liveness cond (the
+    trace_fused dead-tile skip): after bounce 0 most tiles have no
+    continuing rays, and a skipped bounce records zeroed saves whose
+    reverse is a pass-through. All saved masks are f32 (0/1) — i1 vectors
+    cannot cross a Mosaic cond boundary. ``need_saves=False`` (the primal
+    kernel) carries only the 11 state planes through the conds."""
     shape = dx.shape
     col_r = jnp.ones(shape, jnp.float32)
     col_g = jnp.ones(shape, jnp.float32)
@@ -246,12 +275,13 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
     sky_g = sky_ref[1:2, :]
     sky_b = sky_ref[2:3, :]
 
-    saves = []
-    for b in range(refmax):
-        pid = pids[b]
+    def one_bounce(pid, state):
+        ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status = state
         alive = status == _ALIVE
         hit = alive & (pid >= 0)
         miss = alive & (pid < 0)
+        hitf = jnp.where(hit, 1.0, 0.0)
+        missf = jnp.where(miss, 1.0, 0.0)
         pidc = jnp.clip(pid, 0, n_sph + n_box - 1)
         is_s = pidc < n_sph
         (ax, ay, az, bx, by, bz, tr, tg, tb, mode) = _pick_rows(
@@ -269,12 +299,12 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
         cont = hit & (mode > 0.5) & (mode < 1.5)
         keep = hit & ~lit & ~cont
 
-        ncol_r = jnp.where(hit, col_r * tr,
-                           jnp.where(miss, col_r * sky_r, col_r))
-        ncol_g = jnp.where(hit, col_g * tg,
-                           jnp.where(miss, col_g * sky_g, col_g))
-        ncol_b = jnp.where(hit, col_b * tb,
-                           jnp.where(miss, col_b * sky_b, col_b))
+        mcol_r = jnp.where(hit, col_r * tr, col_r)
+        mcol_g = jnp.where(hit, col_g * tg, col_g)
+        mcol_b = jnp.where(hit, col_b * tb, col_b)
+        ncol_r = jnp.where(miss, mcol_r * sky_r, mcol_r)
+        ncol_g = jnp.where(miss, mcol_g * sky_g, mcol_g)
+        ncol_b = jnp.where(miss, mcol_b * sky_b, mcol_b)
         npath = jnp.where(hit, path + t, path)
         nstatus = jnp.where(lit, _LIGHT,
                             jnp.where(keep, _KEEP,
@@ -292,20 +322,65 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
         ndy = jnp.where(cont, rdy, dy)
         ndz = jnp.where(cont, rdz, dz)
 
-        saves.append(dict(
-            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+        nstate = (nox, noy, noz, ndx, ndy, ndz, ncol_r, ncol_g, ncol_b,
+                  npath, nstatus)
+        if not need_saves:
+            return None, nstate
+        sfs = dict(ocx=sf["ocx"], ocy=sf["ocy"], ocz=sf["ocz"],
+                   bh=sf["bh"], a=sf["a"], c=sf["c"],
+                   posf=jnp.where(sf["pos"], 1.0, 0.0),
+                   sq_inner=sf["sq_inner"], inv_a=sf["inv_a"],
+                   t_near=sf["t_near"], t_far=sf["t_far"],
+                   nf=jnp.where(sf["near_fwd"], 1.0, 0.0),
+                   t=sf["t"], px=sf["px"], py=sf["py"], pz=sf["pz"],
+                   r_okf=jnp.where(sf["r_guard"], 0.0, 1.0),
+                   inv_rs=sf["inv_rs"], fs=sf["fs"],
+                   nx=sf["nx"], ny=sf["ny"], nz=sf["nz"])
+        bfs = dict(ivx=bf["ivx"], ivy=bf["ivy"], ivz=bf["ivz"],
+                   t=bf["t"], wxf=bf["wxf"], wyf=bf["wyf"], wzf=bf["wzf"],
+                   sgn_x=jnp.where(bf["from_lo_x"], -1.0, 1.0),
+                   sgn_y=jnp.where(bf["from_lo_y"], -1.0, 1.0),
+                   sgn_z=jnp.where(bf["from_lo_z"], -1.0, 1.0),
+                   dokf_x=jnp.where(bf["dok_x"], 1.0, 0.0),
+                   dokf_y=jnp.where(bf["dok_y"], 1.0, 0.0),
+                   dokf_z=jnp.where(bf["dok_z"], 1.0, 0.0),
+                   nx=bf["nx"], ny=bf["ny"], nz=bf["nz"])
+        saves = dict(
+            dx=dx, dy=dy, dz=dz,
             col_r=col_r, col_g=col_g, col_b=col_b,
-            hit=hit, miss=miss, cont=cont, is_s=is_s, pidc=pidc,
+            hitf=hitf, missf=missf,
+            contf=jnp.where(cont, 1.0, 0.0),
+            issf=jnp.where(is_s, 1.0, 0.0), pidc=pidc,
             t=t, px=px, py=py, pz=pz, nx=nx, ny=ny, nz=nz,
-            d_dot_n=d_dot_n, rdx=rdx, rdy=rdy, rdz=rdz,
-            ax=ax, ay=ay, az=az, bx=bx, tr=tr, tg=tg, tb=tb,
-            sf=sf, bf=bf,
-            mcol_r=jnp.where(hit, col_r * tr, col_r),
-            mcol_g=jnp.where(hit, col_g * tg, col_g),
-            mcol_b=jnp.where(hit, col_b * tb, col_b)))
-        ox, oy, oz, dx, dy, dz = nox, noy, noz, ndx, ndy, ndz
-        col_r, col_g, col_b = ncol_r, ncol_g, ncol_b
-        path, status = npath, nstatus
+            d_dot_n=d_dot_n, ax=ax, ay=ay, az=az, bx=bx,
+            tr=tr, tg=tg, tb=tb, sf=sfs, bf=bfs,
+            mcol_r=mcol_r, mcol_g=mcol_g, mcol_b=mcol_b)
+        return saves, nstate
+
+    state = (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status)
+    saves = []
+    alives = []
+    for b in range(refmax):
+        if b == 0:
+            alives.append(jnp.float32(1.0))
+            sv, state = one_bounce(pids[b], state)
+            saves.append(sv)
+        else:
+            alive_f = jnp.where(jnp.any(state[10] == _ALIVE), 1.0, 0.0)
+            alives.append(alive_f)
+            if need_saves:
+                sv, state = jax.lax.cond(
+                    alive_f > 0.0,
+                    lambda st, pb=pids[b]: one_bounce(pb, st),
+                    lambda st: (_zero_saves(shape), st), state)
+                saves.append(sv)
+            else:
+                _, state = jax.lax.cond(
+                    alive_f > 0.0,
+                    lambda st, pb=pids[b]: one_bounce(pb, st),
+                    lambda st: (None, st), state)
+                saves.append(None)
+    (ox, oy, oz, dx, dy, dz, col_r, col_g, col_b, path, status) = state
 
     exhausted = status == _ALIVE
     pre_r = jnp.where(exhausted, 0.0, col_r)
@@ -318,7 +393,7 @@ def _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref,
     out_b = jnp.where(lit_fin, pre_b * isl, pre_b)
     fin = dict(exhausted=exhausted, lit_fin=lit_fin, isl=isl, path=path,
                pre_r=pre_r, pre_g=pre_g, pre_b=pre_b)
-    return (out_r, out_g, out_b), saves, fin
+    return (out_r, out_g, out_b), saves, alives, fin
 
 
 def _fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -331,10 +406,11 @@ def _fwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
         tab_ref, rest = rest[0], rest[1:]
     sph_ref, box_ref, sky_ref, cr_ref, cg_ref, cb_ref = rest
     pids = [p[:] for p in pid_refs]
-    (cr, cg, cb), _, _ = _fwd_sweep(
+    (cr, cg, cb), _, _, _ = _fwd_sweep(
         ox_ref[:], oy_ref[:], oz_ref[:], dx_ref[:], dy_ref[:], dz_ref[:],
         pids, sph_ref, box_ref, sky_ref, n_sph, n_box, s_pad, b_pad,
-        refmax, atten, tab_ref=tab_ref, trow=pl.program_id(0) % 8)
+        refmax, atten, tab_ref=tab_ref, trow=pl.program_id(0) % 8,
+        need_saves=False)
     cr_ref[:, :] = cr
     cg_ref[:, :] = cg
     cb_ref[:, :] = cb
@@ -347,6 +423,170 @@ def _lane_row(vals):
     for q, v in enumerate(vals):
         row = row + jnp.where(lane == q, v, 0.0)
     return row
+
+
+def _reverse_bounce(s, sky, g):
+    """Hand-derived VJP of one replay bounce (pure part — the per-prim
+    scatter is separate). ``g`` = (g_o(3), g_d(3), g_c(3), g_path);
+    returns the pre-bounce cotangents plus the per-ray scatter rows
+    (g_center(3), g_radius, g_box_c(3), g_box_h(3), g_rgb(3)) and the
+    per-ray sky cotangent (3)."""
+    (g_ox, g_oy, g_oz, g_dx, g_dy, g_dz, g_cr, g_cg, g_cb, g_path) = g
+    sky_r, sky_g, sky_b = sky
+    hitf, missf, contf = s["hitf"], s["missf"], s["contf"]
+    # new_org = cont ? point + EPS*refl : org ; new_dir = cont ? refl : dir
+    g_px = contf * g_ox
+    g_py = contf * g_oy
+    g_pz = contf * g_oz
+    g_rdx = contf * (EPS_ADVANCE * g_ox + g_dx)
+    g_rdy = contf * (EPS_ADVANCE * g_oy + g_dy)
+    g_rdz = contf * (EPS_ADVANCE * g_oz + g_dz)
+    ncontf = 1.0 - contf
+    g_ox = ncontf * g_ox
+    g_oy = ncontf * g_oy
+    g_oz = ncontf * g_oz
+    g_dx = ncontf * g_dx
+    g_dy = ncontf * g_dy
+    g_dz = ncontf * g_dz
+
+    # color_out = miss ? mcol * sky : mcol ; mcol = hit ? col*rgb : col
+    g_sky_r = missf * g_cr * s["mcol_r"]
+    g_sky_g = missf * g_cg * s["mcol_g"]
+    g_sky_b = missf * g_cb * s["mcol_b"]
+    nmissf = 1.0 - missf
+    g_mcol_r = missf * g_cr * sky_r + nmissf * g_cr
+    g_mcol_g = missf * g_cg * sky_g + nmissf * g_cg
+    g_mcol_b = missf * g_cb * sky_b + nmissf * g_cb
+    g_rgb_r = hitf * g_mcol_r * s["col_r"]
+    g_rgb_g = hitf * g_mcol_g * s["col_g"]
+    g_rgb_b = hitf * g_mcol_b * s["col_b"]
+    nhitf = 1.0 - hitf
+    g_cr = hitf * g_mcol_r * s["tr"] + nhitf * g_mcol_r
+    g_cg = hitf * g_mcol_g * s["tg"] + nhitf * g_mcol_g
+    g_cb = hitf * g_mcol_b * s["tb"] + nhitf * g_mcol_b
+
+    # path_out = hit ? path + t : path
+    g_t = hitf * g_path
+
+    # refl = d - 2 (d.n) n
+    dxb, dyb, dzb = s["dx"], s["dy"], s["dz"]
+    nx, ny, nz = s["nx"], s["ny"], s["nz"]
+    n_dot_gr = nx * g_rdx + ny * g_rdy + nz * g_rdz
+    g_dx = g_dx + g_rdx - 2.0 * nx * n_dot_gr
+    g_dy = g_dy + g_rdy - 2.0 * ny * n_dot_gr
+    g_dz = g_dz + g_rdz - 2.0 * nz * n_dot_gr
+    ddn = s["d_dot_n"]
+    g_nx = -2.0 * (ddn * g_rdx + n_dot_gr * dxb)
+    g_ny = -2.0 * (ddn * g_rdy + n_dot_gr * dyb)
+    g_nz = -2.0 * (ddn * g_rdz + n_dot_gr * dzb)
+
+    # point = o + t d (shared by both classes; t is the selected t)
+    g_ox = g_ox + g_px
+    g_oy = g_oy + g_py
+    g_oz = g_oz + g_pz
+    t = s["t"]
+    g_dx = g_dx + t * g_px
+    g_dy = g_dy + t * g_py
+    g_dz = g_dz + t * g_pz
+    g_t = g_t + g_px * dxb + g_py * dyb + g_pz * dzb
+
+    # ---- sphere surface reverse (masked to sphere-hit lanes) ------------
+    msf = hitf * s["issf"]
+    sf = s["sf"]
+    g_ts = msf * g_t
+    g_nsx = msf * g_nx
+    g_nsy = msf * g_ny
+    g_nsz = msf * g_nz
+    fs = sf["fs"]
+    g_n0x = fs * g_nsx
+    g_n0y = fs * g_nsy
+    g_n0z = fs * g_nsz
+    inv_rs = sf["inv_rs"]
+    g_psx = g_n0x * inv_rs
+    g_psy = g_n0y * inv_rs
+    g_psz = g_n0z * inv_rs
+    g_scx = -g_psx
+    g_scy = -g_psy
+    g_scz = -g_psz
+    pmcx = s["px"] - s["ax"]
+    pmcy = s["py"] - s["ay"]
+    pmcz = s["pz"] - s["az"]
+    g_sr = (-sf["r_okf"] * (g_n0x * pmcx + g_n0y * pmcy + g_n0z * pmcz)
+            * inv_rs * inv_rs)
+    g_ox = g_ox + g_psx
+    g_oy = g_oy + g_psy
+    g_oz = g_oz + g_psz
+    g_dx = g_dx + t * g_psx
+    g_dy = g_dy + t * g_psy
+    g_dz = g_dz + t * g_psz
+    g_ts = g_ts + g_psx * dxb + g_psy * dyb + g_psz * dzb
+    nf = sf["nf"]
+    g_tn = nf * g_ts
+    g_tf = (1.0 - nf) * g_ts
+    inv_a = sf["inv_a"]
+    g_bh = -(g_tn + g_tf) * inv_a
+    g_sq = (g_tf - g_tn) * inv_a
+    g_a = -(sf["t_near"] * g_tn + sf["t_far"] * g_tf) * inv_a
+    g_disc = sf["posf"] * g_sq * 0.5 / sf["sq_inner"]
+    bh = sf["bh"]
+    g_bh = g_bh + 2.0 * bh * g_disc
+    g_a = g_a - sf["c"] * g_disc
+    g_cq = -sf["a"] * g_disc
+    g_ocx = 2.0 * g_cq * sf["ocx"]
+    g_ocy = 2.0 * g_cq * sf["ocy"]
+    g_ocz = 2.0 * g_cq * sf["ocz"]
+    g_sr = g_sr - 2.0 * s["bx"] * g_cq
+    g_dx = g_dx + 2.0 * g_a * dxb
+    g_dy = g_dy + 2.0 * g_a * dyb
+    g_dz = g_dz + 2.0 * g_a * dzb
+    g_ocx = g_ocx + g_bh * dxb
+    g_ocy = g_ocy + g_bh * dyb
+    g_ocz = g_ocz + g_bh * dzb
+    g_dx = g_dx + g_bh * sf["ocx"]
+    g_dy = g_dy + g_bh * sf["ocy"]
+    g_dz = g_dz + g_bh * sf["ocz"]
+    g_ox = g_ox + g_ocx
+    g_oy = g_oy + g_ocy
+    g_oz = g_oz + g_ocz
+    g_scx = g_scx - g_ocx
+    g_scy = g_scy - g_ocy
+    g_scz = g_scz - g_ocz
+
+    # ---- box surface reverse (normal is piecewise constant) -------------
+    mbf = hitf * (1.0 - s["issf"])
+    bfv = s["bf"]
+    g_tb_ = mbf * g_t
+    gw_x = g_tb_ * bfv["wxf"]
+    gw_y = g_tb_ * bfv["wyf"]
+    gw_z = g_tb_ * bfv["wzf"]
+    ivx, ivy, ivz = bfv["ivx"], bfv["ivy"], bfv["ivz"]
+    g_bcx = gw_x * ivx
+    g_bcy = gw_y * ivy
+    g_bcz = gw_z * ivz
+    g_bhx = gw_x * ivx * bfv["sgn_x"]
+    g_bhy = gw_y * ivy * bfv["sgn_y"]
+    g_bhz = gw_z * ivz * bfv["sgn_z"]
+    g_ox = g_ox - gw_x * ivx
+    g_oy = g_oy - gw_y * ivy
+    g_oz = g_oz - gw_z * ivz
+    tb_t = bfv["t"]
+    g_dx = g_dx - bfv["dokf_x"] * gw_x * ivx * tb_t
+    g_dy = g_dy - bfv["dokf_y"] * gw_y * ivy * tb_t
+    g_dz = g_dz - bfv["dokf_z"] * gw_z * ivz * tb_t
+
+    g_out = (g_ox, g_oy, g_oz, g_dx, g_dy, g_dz, g_cr, g_cg, g_cb, g_path)
+    rows = dict(g_scx=g_scx, g_scy=g_scy, g_scz=g_scz, g_sr=g_sr,
+                g_bcx=g_bcx, g_bcy=g_bcy, g_bcz=g_bcz,
+                g_bhx=g_bhx, g_bhy=g_bhy, g_bhz=g_bhz,
+                g_rgb_r=g_rgb_r, g_rgb_g=g_rgb_g, g_rgb_b=g_rgb_b)
+    return g_out, rows, (g_sky_r, g_sky_g, g_sky_b)
+
+
+def _zero_rows(shape):
+    z = jnp.zeros(shape, jnp.float32)
+    return dict(g_scx=z, g_scy=z, g_scz=z, g_sr=z, g_bcx=z, g_bcy=z,
+                g_bcz=z, g_bhx=z, g_bhy=z, g_bhz=z, g_rgb_r=z,
+                g_rgb_g=z, g_rgb_b=z)
 
 
 def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -373,254 +613,96 @@ def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     pids = [p[:] for p in pid_refs]
-    _, saves, fin = _fwd_sweep(ox, oy, oz, dx, dy, dz, pids, sph_ref,
-                               box_ref, sky_ref, n_sph, n_box, s_pad,
-                               b_pad, refmax, atten,
-                               tab_ref=tab_ref, trow=trow)
-    sky_r = sky_ref[0:1, :]
-    sky_g = sky_ref[1:2, :]
-    sky_b = sky_ref[2:3, :]
+    _, saves, alives, fin = _fwd_sweep(
+        ox, oy, oz, dx, dy, dz, pids, sph_ref, box_ref, sky_ref, n_sph,
+        n_box, s_pad, b_pad, refmax, atten, tab_ref=tab_ref, trow=trow)
+    sky = (sky_ref[0:1, :], sky_ref[1:2, :], sky_ref[2:3, :])
 
-    # ---- loss-side epilogue reversed -----------------------------------
+    # ---- loss-side epilogue reversed ------------------------------------
     g_out_r, g_out_g, g_out_b = gr_ref[:], gg_ref[:], gb_ref[:]
     isl = fin["isl"]
     lit_fin = fin["lit_fin"]
-    # out = lit ? pre * isl : pre ; pre = exhausted ? 0 : col
     g_pre_r = jnp.where(lit_fin, g_out_r * isl, g_out_r)
     g_pre_g = jnp.where(lit_fin, g_out_g * isl, g_out_g)
     g_pre_b = jnp.where(lit_fin, g_out_b * isl, g_out_b)
     pre_dot_g = (fin["pre_r"] * g_out_r + fin["pre_g"] * g_out_g
                  + fin["pre_b"] * g_out_b)
-    # d isl / d path = -2 path atten^2 isl^2
     path = fin["path"]
     disl = -2.0 * path * (atten * atten) * isl * isl
     g_path = jnp.where(lit_fin, pre_dot_g * disl, 0.0)
     zero = jnp.zeros_like(g_out_r)
-    g_cr = jnp.where(fin["exhausted"], 0.0, g_pre_r)
-    g_cg = jnp.where(fin["exhausted"], 0.0, g_pre_g)
-    g_cb = jnp.where(fin["exhausted"], 0.0, g_pre_b)
-    g_ox, g_oy, g_oz = zero, zero, zero
-    g_dx, g_dy, g_dz = zero, zero, zero
-    gsky_acc = [jnp.zeros((), jnp.float32)] * 3
+    g = (zero, zero, zero, zero, zero, zero,
+         jnp.where(fin["exhausted"], 0.0, g_pre_r),
+         jnp.where(fin["exhausted"], 0.0, g_pre_g),
+         jnp.where(fin["exhausted"], 0.0, g_pre_b),
+         g_path)
+    # lane-partial sky accumulators (1, 128): cross-lane reduction is the
+    # expensive VPU operation — defer it to XLA (measured r5: the scalar
+    # full-tile reduces made the scatter ~8 of the 9.3 ms step)
+    gsky_acc = (jnp.zeros((1, SP_LANE), jnp.float32),) * 3
 
-    # ---- reverse bounce sweep ------------------------------------------
+    # ---- reverse bounce sweep -------------------------------------------
+    shape = dx.shape
     for b in range(refmax - 1, -1, -1):
         s = saves[b]
-        hit, miss, cont, is_s = s["hit"], s["miss"], s["cont"], s["is_s"]
-        hitf = jnp.where(hit, 1.0, 0.0)
-        contf = jnp.where(cont, 1.0, 0.0)
-        missf = jnp.where(miss, 1.0, 0.0)
-        # new_org = cont ? point + EPS*refl : org
-        g_px = contf * g_ox
-        g_py = contf * g_oy
-        g_pz = contf * g_oz
-        g_rdx = contf * (EPS_ADVANCE * g_ox + g_dx)
-        g_rdy = contf * (EPS_ADVANCE * g_oy + g_dy)
-        g_rdz = contf * (EPS_ADVANCE * g_oz + g_dz)
-        ncontf = 1.0 - contf
-        g_ox = ncontf * g_ox
-        g_oy = ncontf * g_oy
-        g_oz = ncontf * g_oz
-        g_dx = ncontf * g_dx
-        g_dy = ncontf * g_dy
-        g_dz = ncontf * g_dz
-
-        # color_out = miss ? mcol * sky : mcol ; mcol = hit ? col*rgb : col
-        g_sky_ray_r = missf * g_cr * s["mcol_r"]
-        g_sky_ray_g = missf * g_cg * s["mcol_g"]
-        g_sky_ray_b = missf * g_cb * s["mcol_b"]
-        gsky_acc[0] = gsky_acc[0] + jnp.sum(g_sky_ray_r)
-        gsky_acc[1] = gsky_acc[1] + jnp.sum(g_sky_ray_g)
-        gsky_acc[2] = gsky_acc[2] + jnp.sum(g_sky_ray_b)
-        g_mcol_r = jnp.where(miss, g_cr * sky_r, g_cr)
-        g_mcol_g = jnp.where(miss, g_cg * sky_g, g_cg)
-        g_mcol_b = jnp.where(miss, g_cb * sky_b, g_cb)
-        g_rgb_r = hitf * g_mcol_r * s["col_r"]
-        g_rgb_g = hitf * g_mcol_g * s["col_g"]
-        g_rgb_b = hitf * g_mcol_b * s["col_b"]
-        g_cr = jnp.where(hit, g_mcol_r * s["tr"], g_mcol_r)
-        g_cg = jnp.where(hit, g_mcol_g * s["tg"], g_mcol_g)
-        g_cb = jnp.where(hit, g_mcol_b * s["tb"], g_mcol_b)
-
-        # path_out = hit ? path + t : path
-        g_t = hitf * g_path
-
-        # refl = d - 2 (d.n) n
-        dxb, dyb, dzb = s["dx"], s["dy"], s["dz"]
-        nx, ny, nz = s["nx"], s["ny"], s["nz"]
-        n_dot_gr = nx * g_rdx + ny * g_rdy + nz * g_rdz
-        g_dx = g_dx + g_rdx - 2.0 * nx * n_dot_gr
-        g_dy = g_dy + g_rdy - 2.0 * ny * n_dot_gr
-        g_dz = g_dz + g_rdz - 2.0 * nz * n_dot_gr
-        ddn = s["d_dot_n"]
-        g_nx = -2.0 * (ddn * g_rdx + n_dot_gr * dxb)
-        g_ny = -2.0 * (ddn * g_rdy + n_dot_gr * dyb)
-        g_nz = -2.0 * (ddn * g_rdz + n_dot_gr * dzb)
-
-        # point = o + t d (shared by both classes)
-        g_ox = g_ox + g_px
-        g_oy = g_oy + g_py
-        g_oz = g_oz + g_pz
-        t = s["t"]
-        g_dx = g_dx + t * g_px
-        g_dy = g_dy + t * g_py
-        g_dz = g_dz + t * g_pz
-        g_t = g_t + g_px * dxb + g_py * dyb + g_pz * dzb
-
-        # ---- sphere surface reverse (masked to sphere-hit lanes) -------
-        ms = jnp.where(hit & is_s, 1.0, 0.0)
-        sf = s["sf"]
-        g_ts = ms * g_t
-        g_nsx = ms * g_nx
-        g_nsy = ms * g_ny
-        g_nsz = ms * g_nz
-        # n = fs * n0 ; n0 = (p - c) * inv_rs
-        fs = sf["fs"]
-        g_n0x = fs * g_nsx
-        g_n0y = fs * g_nsy
-        g_n0z = fs * g_nsz
-        inv_rs = sf["inv_rs"]
-        g_psx = g_n0x * inv_rs
-        g_psy = g_n0y * inv_rs
-        g_psz = g_n0z * inv_rs
-        g_scx = -g_psx
-        g_scy = -g_psy
-        g_scz = -g_psz
-        # d n0 / d r = -(p - c) / r_safe^2 (zero in the |r|<1e-12 guard)
-        pmcx = s["px"] - s["ax"]
-        pmcy = s["py"] - s["ay"]
-        pmcz = s["pz"] - s["az"]
-        g_sr = jnp.where(
-            sf["r_guard"], 0.0,
-            -(g_n0x * pmcx + g_n0y * pmcy + g_n0z * pmcz)
-            * inv_rs * inv_rs)
-        # p = o + t d
-        g_ox = g_ox + g_psx
-        g_oy = g_oy + g_psy
-        g_oz = g_oz + g_psz
-        g_dx = g_dx + t * g_psx
-        g_dy = g_dy + t * g_psy
-        g_dz = g_dz + t * g_psz
-        g_ts = g_ts + g_psx * dxb + g_psy * dyb + g_psz * dzb
-        # t select near/far
-        nf = jnp.where(sf["near_fwd"], 1.0, 0.0)
-        g_tn = nf * g_ts
-        g_tf = (1.0 - nf) * g_ts
-        inv_a = sf["inv_a"]
-        g_bh = -(g_tn + g_tf) * inv_a
-        g_sq = (g_tf - g_tn) * inv_a
-        g_a = -(sf["t_near"] * g_tn + sf["t_far"] * g_tf) * inv_a
-        # sq = sqrt(pos ? disc : 1) * pos
-        posf = jnp.where(sf["pos"], 1.0, 0.0)
-        g_disc = posf * g_sq * 0.5 / sf["sq_inner"]
-        # disc = bh^2 - a c
-        bh = sf["bh"]
-        g_bh = g_bh + 2.0 * bh * g_disc
-        g_a = g_a - sf["c"] * g_disc
-        g_cq = -sf["a"] * g_disc
-        # c = oc.oc - r^2
-        g_ocx = 2.0 * g_cq * sf["ocx"]
-        g_ocy = 2.0 * g_cq * sf["ocy"]
-        g_ocz = 2.0 * g_cq * sf["ocz"]
-        g_sr = g_sr - 2.0 * s["bx"] * g_cq
-        # a = d.d
-        g_dx = g_dx + 2.0 * g_a * dxb
-        g_dy = g_dy + 2.0 * g_a * dyb
-        g_dz = g_dz + 2.0 * g_a * dzb
-        # bh = oc.d
-        g_ocx = g_ocx + g_bh * dxb
-        g_ocy = g_ocy + g_bh * dyb
-        g_ocz = g_ocz + g_bh * dzb
-        g_dx = g_dx + g_bh * sf["ocx"]
-        g_dy = g_dy + g_bh * sf["ocy"]
-        g_dz = g_dz + g_bh * sf["ocz"]
-        # oc = o - c
-        g_ox = g_ox + g_ocx
-        g_oy = g_oy + g_ocy
-        g_oz = g_oz + g_ocz
-        g_scx = g_scx - g_ocx
-        g_scy = g_scy - g_ocy
-        g_scz = g_scz - g_ocz
-
-        # ---- box surface reverse (normal is piecewise constant) --------
-        mb = jnp.where(hit & ~is_s, 1.0, 0.0)
-        bfv = s["bf"]
-        g_tb_ = mb * g_t
-        # t came from ((C +- H) - o_k) * inv_k on the winning axis
-        wxf, wyf, wzf = bfv["wxf"], bfv["wyf"], bfv["wzf"]
-        gw_x = g_tb_ * wxf
-        gw_y = g_tb_ * wyf
-        gw_z = g_tb_ * wzf
-        ivx, ivy, ivz = bfv["ivx"], bfv["ivy"], bfv["ivz"]
-        g_bcx = gw_x * ivx
-        g_bcy = gw_y * ivy
-        g_bcz = gw_z * ivz
-        sgn_x = jnp.where(bfv["from_lo_x"], -1.0, 1.0)
-        sgn_y = jnp.where(bfv["from_lo_y"], -1.0, 1.0)
-        sgn_z = jnp.where(bfv["from_lo_z"], -1.0, 1.0)
-        g_bhx = gw_x * ivx * sgn_x
-        g_bhy = gw_y * ivy * sgn_y
-        g_bhz = gw_z * ivz * sgn_z
-        g_ox = g_ox - gw_x * ivx
-        g_oy = g_oy - gw_y * ivy
-        g_oz = g_oz - gw_z * ivz
-        tb_t = bfv["t"]
-        g_dx = g_dx - jnp.where(bfv["dok_x"], gw_x * ivx * tb_t, 0.0)
-        g_dy = g_dy - jnp.where(bfv["dok_y"], gw_y * ivy * tb_t, 0.0)
-        g_dz = g_dz - jnp.where(bfv["dok_z"], gw_z * ivz * tb_t, 0.0)
-
-        # ---- per-primitive scatter (masked tile reductions) ------------
-        pidc = s["pidc"]
-
-        def sph_scatter(p, _):
-            m = (pidc == p) & hit
-
-            @pl.when(jnp.any(m))
-            def _():
-                mf = jnp.where(m, 1.0, 0.0)
-                row = _lane_row([
-                    jnp.sum(mf * g_scx), jnp.sum(mf * g_scy),
-                    jnp.sum(mf * g_scz), jnp.sum(mf * g_sr),
-                    jnp.sum(mf * g_rgb_r), jnp.sum(mf * g_rgb_g),
-                    jnp.sum(mf * g_rgb_b)])
-                cur = gsph_ref[pl.ds(p, 1), :]
-                gsph_ref[pl.ds(p, 1), :] = cur + row
-            return 0
-
-        def box_scatter(p, _):
-            m = (pidc == p + n_sph) & hit
-
-            @pl.when(jnp.any(m))
-            def _():
-                mf = jnp.where(m, 1.0, 0.0)
-                # box rows route the unified-ga cotangent (sphere-center
-                # slots) PLUS the slab-t center cotangent; ga also fed the
-                # sphere kernel on these lanes but its outputs were
-                # deselected (zero cotangent) — g_scx etc. are
-                # sphere-masked so they contribute nothing here
-                row = _lane_row([
-                    jnp.sum(mf * g_bcx), jnp.sum(mf * g_bcy),
-                    jnp.sum(mf * g_bcz), jnp.sum(mf * g_bhx),
-                    jnp.sum(mf * g_bhy), jnp.sum(mf * g_bhz),
-                    jnp.sum(mf * g_rgb_r), jnp.sum(mf * g_rgb_g),
-                    jnp.sum(mf * g_rgb_b)])
-                cur = gbox_ref[pl.ds(p, 1), :]
-                gbox_ref[pl.ds(p, 1), :] = cur + row
-            return 0
-
-        if listed:
-            jax.lax.fori_loop(
-                0, tab_ref[trow, 0],
-                lambda j, c: sph_scatter(tab_ref[trow, 1 + j], c), 0)
+        if b == 0:
+            g, rows, g_sky_ray = _reverse_bounce(s, sky, g)
         else:
-            jax.lax.fori_loop(0, n_sph, sph_scatter, 0,
-                              unroll=n_sph if n_sph <= 128 else 1)
-        jax.lax.fori_loop(0, n_box, box_scatter, 0,
-                          unroll=n_box if n_box <= 128 else 1)
+            # liveness skip mirrors the forward cond: a dead bounce's
+            # reverse is the identity with no scatter contributions
+            g, rows, g_sky_ray = jax.lax.cond(
+                alives[b] > 0.0,
+                lambda g, s=s: _reverse_bounce(s, sky, g),
+                lambda g: (g, _zero_rows(shape),
+                           (jnp.zeros(shape, jnp.float32),) * 3), g)
+        gsky_acc = tuple(a + jnp.sum(r, axis=0, keepdims=True)
+                         for a, r in zip(gsky_acc, g_sky_ray))
 
-        # propagate path cotangent unchanged (path_in pass-through)
-        # g_path already equals g_path_in here
+        # ---- per-primitive scatter (masked tile reductions) -------------
+        pidc = s["pidc"]
+        hitf = s["hitf"]
 
+        def part(mf, q, rows=rows):
+            # sublane-only masked reduction -> (1, 128) lane partials
+            return jnp.sum(mf * rows[q], axis=0, keepdims=True)
+
+        def sph_scatter(p, _, rows=rows, pidc=pidc, hitf=hitf):
+            mf = jnp.where(pidc == p, hitf, 0.0)
+            row = jnp.concatenate(
+                [part(mf, "g_scx"), part(mf, "g_scy"), part(mf, "g_scz"),
+                 part(mf, "g_sr"), part(mf, "g_rgb_r"),
+                 part(mf, "g_rgb_g"), part(mf, "g_rgb_b")], axis=1)
+            cur = gsph_ref[pl.ds(p, 1), :]
+            gsph_ref[pl.ds(p, 1), :] = cur + row
+            return 0
+
+        def box_scatter(p, _, rows=rows, pidc=pidc, hitf=hitf):
+            # box rows take the slab-t center/half cotangents plus rgb;
+            # the sphere-masked g_sc* contribute nothing on box lanes
+            mf = jnp.where(pidc == p + n_sph, hitf, 0.0)
+            row = jnp.concatenate(
+                [part(mf, "g_bcx"), part(mf, "g_bcy"), part(mf, "g_bcz"),
+                 part(mf, "g_bhx"), part(mf, "g_bhy"), part(mf, "g_bhz"),
+                 part(mf, "g_rgb_r"), part(mf, "g_rgb_g"),
+                 part(mf, "g_rgb_b")], axis=1)
+            cur = gbox_ref[pl.ds(p, 1), :]
+            gbox_ref[pl.ds(p, 1), :] = cur + row
+            return 0
+
+        @pl.when(alives[b] > 0.0)
+        def _scatter():
+            if listed:
+                # the tile list IS the presence filter — no per-prim skip
+                jax.lax.fori_loop(
+                    0, tab_ref[trow, 0],
+                    lambda j, c: sph_scatter(tab_ref[trow, 1 + j], c), 0)
+            else:
+                jax.lax.fori_loop(0, n_sph, sph_scatter, 0,
+                                  unroll=n_sph if n_sph <= 128 else 1)
+            jax.lax.fori_loop(0, n_box, box_scatter, 0,
+                              unroll=n_box if n_box <= 128 else 1)
+
+    (g_ox, g_oy, g_oz, g_dx, g_dy, g_dz, _, _, _, _) = g
     gox_ref[:, :] = g_ox
     goy_ref[:, :] = g_oy
     goz_ref[:, :] = g_oz
@@ -628,7 +710,8 @@ def _bwd_kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     gdy_ref[:, :] = g_dy
     gdz_ref[:, :] = g_dz
     cur = gsky_ref[pl.ds(0, 1), :]
-    gsky_ref[pl.ds(0, 1), :] = cur + _lane_row(gsky_acc)
+    gsky_ref[pl.ds(0, 1), :] = cur + jnp.concatenate(list(gsky_acc),
+                                                     axis=1)
 
 
 def _pack_tables(sph_c, sph_r, sph_rgb, mode_s, box_c, box_h, box_rgb,
@@ -708,12 +791,13 @@ def _bwd_call(cols, pid_planes, sph, box, sky, gcol, meta, tab=None,
         kern, grid=grid,
         in_specs=[ray] * (6 + refmax) + tab_spec
         + [full(sph), full(box), full(sky)] + [ray] * 3,
-        out_specs=[ray] * 6 + [acc((s_pad, SP_LANE)), acc((b_pad, SP_LANE)),
-                               acc((8, SP_LANE))],
+        out_specs=[ray] * 6 + [acc((s_pad, 7 * SP_LANE)),
+                               acc((b_pad, 9 * SP_LANE)),
+                               acc((8, 3 * SP_LANE))],
         out_shape=[_sds((rows, SP_LANE), f32, vma)] * 6
-        + [_sds((s_pad, SP_LANE), f32, vma),
-           _sds((b_pad, SP_LANE), f32, vma),
-           _sds((8, SP_LANE), f32, vma)],
+        + [_sds((s_pad, 7 * SP_LANE), f32, vma),
+           _sds((b_pad, 9 * SP_LANE), f32, vma),
+           _sds((8, 3 * SP_LANE), f32, vma)],
         interpret=interpret,
     )(*cols, *pid_planes, *tab_arg, sph, box, sky, *gcol)
 
@@ -796,13 +880,16 @@ def _make_replay_fn(refmax: int, atten: float, interpret: bool,
                            goz.reshape(-1)[:n]], axis=-1)
         g_dir = jnp.stack([gdx.reshape(-1)[:n], gdy.reshape(-1)[:n],
                            gdz.reshape(-1)[:n]], axis=-1)
+        # lane-sum the (prim, quantity, 128) partial accumulators
+        gsph = gsph.reshape(gsph.shape[0], 7, SP_LANE).sum(-1)
+        gbox = gbox.reshape(gbox.shape[0], 9, SP_LANE).sum(-1)
         g_sph_c = gsph[:n_s, 0:3]
         g_sph_r = gsph[:n_s, 3]
         g_sph_rgb = gsph[:n_s, 4:7]
         g_box_c = gbox[:n_b, 0:3]
         g_box_h = gbox[:n_b, 3:6]
         g_box_rgb = gbox[:n_b, 6:9]
-        g_sky = gsky[0, 0:3]
+        g_sky = gsky[0].reshape(3, SP_LANE).sum(-1)
         zs = jnp.zeros_like(mode_s)
         zb = jnp.zeros_like(mode_b)
         zp = jnp.zeros_like(pid_seq)

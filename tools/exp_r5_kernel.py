@@ -41,14 +41,12 @@ def main():
         rec = jax.jit(lambda p: record_paths(
             rebuild(p), cfg, org, dirs, key, rid))(params)
         _materialize(rec)
-        lists = None
-        if not replay_grad.supports(scene, cfg):
-            lists = replay_grad.build_tile_lists(np.asarray(rec),
-                                                 scene.n_spheres)
-            print(json.dumps({"name": f"lists{tag}",
-                              "l_pad": int(lists.shape[1] - 1),
-                              "l_mean": float(lists[:, 0].mean()),
-                              "l_max": int(lists[:, 0].max())}), flush=True)
+        lists = replay_grad.build_tile_lists(np.asarray(rec),
+                                              scene.n_spheres)
+        print(json.dumps({"name": f"lists{tag}",
+                          "l_pad": int(lists.shape[1] - 1),
+                          "l_mean": float(lists[:, 0].mean()),
+                          "l_max": int(lists[:, 0].max())}), flush=True)
 
         def fwd(p):
             return replay_grad.replay_colors(rebuild(p), cfg, org, dirs,
