@@ -624,15 +624,15 @@ def bench_backward(scene, cam, args, w, h):
 
     from raytracer_js_tpu.kernels import replay_grad
 
-    use_kernel = replay_grad.supports(scene, cfg)
     tile_lists = None
-    if not use_kernel and replay_grad.supports_listed(scene, cfg):
-        # big prim tables: per-tile compact sphere-id lists make the
-        # in-kernel pick/scatter cost O(distinct-per-tile), not O(P);
-        # rebuilt host-side from each concrete recording
+    if replay_grad.supports_listed(scene, cfg):
+        # per-tile compact sphere-id lists: the in-kernel pick/scatter
+        # costs O(distinct-per-tile) (~6 at 50 prims, ~33 at 1000), not
+        # O(P); rebuilt host-side from each concrete recording
         tile_lists = replay_grad.build_tile_lists(np.asarray(pid_seq),
                                                   scene.n_spheres)
-        use_kernel = tile_lists is not None
+    use_kernel = (tile_lists is not None
+                  or replay_grad.supports(scene, cfg))
 
     def loss_replay(params, pid_seq):
         sc = rebuild(params)

@@ -130,7 +130,11 @@ class SceneBuilder:
     :class:`Scene` pytree with static shapes.
     """
 
-    def __init__(self, atlas_hw: Tuple[int, int] = (64, 64)):
+    def __init__(self, atlas_hw: Optional[Tuple[int, int]] = None):
+        #: fixed atlas resolution images are nearest-RESIZED to, or None
+        #: (the default): every image keeps its NATIVE resolution and the
+        #: atlas pads to the largest (the reference samples at decoded
+        #: resolution, texture_image.ts:40-63)
         self.atlas_hw = atlas_hw
         self._materials: List[tuple] = []
         self._tex_kind: List[int] = []
@@ -168,11 +172,12 @@ class SceneBuilder:
         reference's texture_image.ts:52 TODO — capability beyond it)."""
         img = np.asarray(image, np.float32)
         assert img.ndim == 3 and img.shape[2] == 3, img.shape
-        ah, aw = self.atlas_hw
-        if img.shape[:2] != (ah, aw):
-            yi = (np.arange(ah) * img.shape[0] // ah)
-            xi = (np.arange(aw) * img.shape[1] // aw)
-            img = img[yi][:, xi]
+        if self.atlas_hw is not None:
+            ah, aw = self.atlas_hw
+            if img.shape[:2] != (ah, aw):
+                yi = (np.arange(ah) * img.shape[0] // ah)
+                xi = (np.arange(aw) * img.shape[1] // aw)
+                img = img[yi][:, xi]
         self._images.append(img)
         self._tex_kind.append(int(TextureKind.IMAGE_BILINEAR if bilinear
                                   else TextureKind.IMAGE))
@@ -263,9 +268,22 @@ class SceneBuilder:
         sub = jnp.asarray(np.array([i[2] for i in ids], np.int32)
                           if ids else np.zeros((0,), np.int32))
 
-        ah, aw = self.atlas_hw
-        atlas = (np.stack(self._images) if self._images
-                 else np.zeros((1, ah, aw, 3), np.float32))
+        # pad every image into a max-size atlas, keeping native (h, w)
+        # columns so sampling stays reference-faithful per image
+        if self._images:
+            ah = max(im.shape[0] for im in self._images)
+            aw = max(im.shape[1] for im in self._images)
+            atlas = np.zeros((len(self._images), ah, aw, 3), np.float32)
+            img_h = np.empty(len(self._images), np.int32)
+            img_w = np.empty(len(self._images), np.int32)
+            for k, im in enumerate(self._images):
+                atlas[k, : im.shape[0], : im.shape[1]] = im
+                img_h[k], img_w[k] = im.shape[0], im.shape[1]
+        else:
+            ah, aw = self.atlas_hw or (1, 1)
+            atlas = np.zeros((1, ah, aw, 3), np.float32)
+            img_h = np.full(1, ah, np.int32)
+            img_w = np.full(1, aw, np.int32)
 
         return Scene(
             sphere_center=sc, sphere_radius=sr,
@@ -278,6 +296,8 @@ class SceneBuilder:
                 ref=jnp.asarray(np.array(self._tex_ref, np.int32)),
                 solid_rgb=jnp.asarray(np.stack(self._tex_solid)),
                 atlas=jnp.asarray(atlas),
+                img_h=jnp.asarray(img_h),
+                img_w=jnp.asarray(img_w),
                 has_images=bool(self._images),
                 has_bilinear=any(
                     k == int(TextureKind.IMAGE_BILINEAR)

@@ -39,6 +39,13 @@ class TextureTable:
     #: static: any IMAGE_BILINEAR entries? Gates the 4-tap filtered path
     #: (the extra gathers are compiled out for nearest-only scenes).
     has_bilinear: bool = struct.field(pytree_node=False, default=False)
+    #: per-image NATIVE sizes [I] i32 (images are stored top-left in a
+    #: max-size padded atlas). None = every image fills the atlas (the
+    #: legacy fixed-resolution mode). The reference samples images at
+    #: their decoded resolution (texture_image.ts:40-63); these columns
+    #: preserve that fidelity for mixed-size scenes.
+    img_h: Array | None = None
+    img_w: Array | None = None
 
     @property
     def n_images(self) -> int:
@@ -51,6 +58,47 @@ def is_image_kind(kind: Array) -> Array:
     uses (trace glue, tiled glue, candidate packing)."""
     return ((kind == int(TextureKind.IMAGE))
             | (kind == int(TextureKind.IMAGE_BILINEAR)))
+
+
+#: group size of the two-level MXU atlas gather (64 texels per one-hot
+#: group keeps the stage-1 matmul lanes at 192->256 pad); atlases with
+#: more than ATLAS_MXU_MAX_GROUPS groups fall back to jnp.take
+ATLAS_MXU_GROUP = 64
+ATLAS_MXU_MAX_GROUPS = 4096
+
+
+def _atlas_gather(atlas: Array, img_row: Array, row: Array,
+                  col: Array) -> Array:
+    """``atlas[img_row, row, col]`` -> [N, 3] texel colors.
+
+    XLA lowers the per-ray advanced-index gather to ~14 ns/element on TPU
+    (measured r3) — ~11 ms per bounce at 512^2, the config-3 image-glue
+    sink (r4 exp_c3). This two-level formulation rides the MXU instead:
+    a one-hot matmul picks each ray's 64-texel GROUP row from the
+    flattened [R/64, 64*3] atlas (exact under Precision.HIGHEST, gradient
+    flows to the atlas through the standard transpose — image-texture
+    fitting keeps working), then a fused compare-multiply-reduce selects
+    the texel within the group. Exact — bit-identical to the take path.
+    """
+    i, h, w, _ = atlas.shape
+    r = i * h * w
+    g = ATLAS_MXU_GROUP
+    n_grp = -(-r // g)
+    if n_grp > ATLAS_MXU_MAX_GROUPS:
+        return atlas[img_row, row, col]
+    from ..ops.gather import onehot_gather
+
+    flat = (img_row * (h * w) + row * w + col).astype(jnp.int32)
+    tab = atlas.reshape(r, 3)
+    if n_grp * g != r:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((n_grp * g - r, 3), tab.dtype)], axis=0)
+    tabw = tab.reshape(n_grp, g * 3)
+    tmp = onehot_gather(flat // g, tabw)                  # [N, g*3]
+    lo = flat % g
+    sel = (lo[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
+    return jnp.einsum("nl,nlc->nc", sel.astype(tab.dtype),
+                      tmp.reshape(-1, g, 3))
 
 
 def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
@@ -74,10 +122,20 @@ def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
         return solid
     solid, kind, img_row = gather_cols(tex_id, tex.solid_rgb, tex.kind,
                                        tex.ref)
-    h, w = tex.atlas.shape[1], tex.atlas.shape[2]
-    ix = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    iy = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    img = tex.atlas[img_row, (h - 1) - iy, ix]
+    if tex.img_h is not None:
+        # per-image native sizes over the padded atlas
+        hi, wi = gather_cols(img_row, tex.img_h, tex.img_w)
+        h = hi.astype(jnp.float32)
+        w = wi.astype(jnp.float32)
+        h_top = hi - 1
+        w_hi = wi - 1
+    else:
+        h, w = tex.atlas.shape[1], tex.atlas.shape[2]
+        h_top = h - 1
+        w_hi = w - 1
+    ix = jnp.clip((u * w).astype(jnp.int32), 0, w_hi)
+    iy = jnp.clip((v * h).astype(jnp.int32), 0, h_top)
+    img = _atlas_gather(tex.atlas, img_row, h_top - iy, ix)
     if tex.has_bilinear:
         # texel-center bilinear (the reference's texture_image.ts:52 TODO):
         # x = u*W - 0.5 puts integer x on texel centers; the 4 neighbor
@@ -89,16 +147,16 @@ def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:
         y0 = jnp.floor(y)
         fx = (x - x0)[..., None]
         fy = (y - y0)[..., None]
-        x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-        r0 = (h - 1) - y0i
-        r1 = (h - 1) - y1i
-        c00 = tex.atlas[img_row, r0, x0i]
-        c10 = tex.atlas[img_row, r0, x1i]
-        c01 = tex.atlas[img_row, r1, x0i]
-        c11 = tex.atlas[img_row, r1, x1i]
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, w_hi)
+        x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w_hi)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, h_top)
+        y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h_top)
+        r0 = h_top - y0i
+        r1 = h_top - y1i
+        c00 = _atlas_gather(tex.atlas, img_row, r0, x0i)
+        c10 = _atlas_gather(tex.atlas, img_row, r0, x1i)
+        c01 = _atlas_gather(tex.atlas, img_row, r1, x0i)
+        c11 = _atlas_gather(tex.atlas, img_row, r1, x1i)
         blin = ((1 - fx) * (1 - fy) * c00 + fx * (1 - fy) * c10
                 + (1 - fx) * fy * c01 + fx * fy * c11)
         img = jnp.where(

@@ -96,6 +96,10 @@ def _as_np(scene):
         m_rough=f(scene.materials.roughness),
         t_kind=i(scene.textures.kind), t_ref=i(scene.textures.ref),
         t_solid=f(scene.textures.solid_rgb), atlas=f(scene.textures.atlas),
+        t_h=(None if scene.textures.img_h is None
+             else i(scene.textures.img_h)),
+        t_w=(None if scene.textures.img_w is None
+             else i(scene.textures.img_w)),
         sub_refr=f(scene.sub_refr), default_refr=float(scene.default_refr),
         sky_tex=int(scene.sky_tex),
         sky_box=(None if scene.sky_box is None
@@ -110,16 +114,24 @@ def uv_map_sphere(d):
     return u, v
 
 
+def _img_hw(s, row):
+    # per-image native size (models/textures img_h/img_w columns; the
+    # atlas pads to the largest image)
+    if s.get("t_h") is not None:
+        return int(s["t_h"][row]), int(s["t_w"][row])
+    return s["atlas"].shape[1], s["atlas"].shape[2]
+
+
 def tex_color(s, tex_id: int, u: float, v: float):
     if s["t_kind"][tex_id] == 1:  # IMAGE (nearest)
         atlas = s["atlas"]
-        h, w = atlas.shape[1], atlas.shape[2]
+        h, w = _img_hw(s, s["t_ref"][tex_id])
         ix = min(max(int(u * w), 0), w - 1)
         iy = min(max(int(v * h), 0), h - 1)
         return atlas[s["t_ref"][tex_id], (h - 1) - iy, ix].copy()
     if s["t_kind"][tex_id] == 2:  # IMAGE_BILINEAR (models/textures.sample)
         atlas = s["atlas"]
-        h, w = atlas.shape[1], atlas.shape[2]
+        h, w = _img_hw(s, s["t_ref"][tex_id])
         x = u * w - 0.5
         y = v * h - 0.5
         x0, y0 = math.floor(x), math.floor(y)

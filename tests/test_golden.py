@@ -216,3 +216,53 @@ def test_sky_box_matches_oracle():
     want = np.asarray([(1, 0, 0), (0, 1, 0), (0, 0, 1),
                        (1, 1, 0), (1, 0, 1), (0, 1, 1)], np.float32)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_native_resolution_mixed_image_textures():
+    """r5: add_image_texture preserves native resolution by default —
+    two different-size images in one scene sample exactly per the oracle
+    (texture_image.ts:40-63 fidelity; the atlas pads to the largest)."""
+    import numpy as np
+
+    from raytracer_js_tpu import RenderConfig, SceneBuilder, make_camera
+    from raytracer_js_tpu.config import ResponseType
+    from raytracer_js_tpu.models.camera import pixel_rays
+    from raytracer_js_tpu.oracle import scalar as oracle_mod
+    from raytracer_js_tpu.render import render_rays
+
+    b = SceneBuilder()                      # native-res default
+    # smooth gradients: a texel flipped by f32-vs-f64 uv rounding at a
+    # boundary stays inside the 1e-4 pixel tolerance (noise would not)
+    # odd, coprime sizes: the 24-px pi/2 camera's equirect uv grid lands
+    # on EXACT texel boundaries for sizes sharing factors with the
+    # angular step (f32-vs-f64 atan2 then flips the truncation)
+    yy, xx = np.mgrid[0:97, 0:53].astype(np.float32)
+    big = np.stack([yy / 97, xx / 53, 0.5 + 0.3 * yy / 97], -1)
+    yy, xx = np.mgrid[0:17, 0:23].astype(np.float32)
+    small = np.stack([0.2 + 0.7 * xx / 23, yy / 17, 0.8 - 0.5 * yy / 17],
+                     -1).astype(np.float32)
+    b.set_sky(b.add_image_texture(big))
+    t_small = b.add_image_texture(small)
+    t_big_bl = b.add_image_texture(big, bilinear=True)
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_sphere((4.0, -1.2, 0.0), 1.0, diffuse, t_small)
+    b.add_sphere((4.0, 1.2, 0.0), 1.0, diffuse, t_big_bl)
+    b.add_sphere((4.0, 0.0, 4.0), 0.8, light,
+                 b.add_solid_texture((1.0, 1.0, 1.0)))
+    scene = b.build()
+    assert scene.textures.atlas.shape[1:3] == (97, 53)
+    assert int(scene.textures.img_h[1]) == 17
+
+    import jax
+    import jax.numpy as jnp
+
+    cam = make_camera((0.0, 0.0, 0.0), 24, 24, np.pi / 2, np.pi / 2)
+    cfg = RenderConfig(refmax=2)
+    org, dirs = pixel_rays(cam)
+    rid = jnp.arange(org.shape[0], dtype=jnp.int32)
+    got = np.asarray(render_rays(scene, cfg, org, dirs,
+                                 jax.random.key(0), rid))
+    want = oracle_mod.render(scene, cam, cfg)
+    np.testing.assert_allclose(got, want.reshape(-1, 3), rtol=1e-4,
+                               atol=1e-4)
