@@ -2,14 +2,13 @@
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 OUT=/root/repo/tools/bench_results_r5
+# wait for queue B to finish (serial TPU)
+while ! grep -q "QUEUE B DONE" $OUT/queue.log 2>/dev/null; do sleep 30; done
 run() {
   name=$1; shift
   echo "=== $name start $(date +%T) ===" >> $OUT/queue.log
   timeout 7200 python "$@" > $OUT/$name.json 2> $OUT/$name.err
   echo "=== $name exit $? $(date +%T) ===" >> $OUT/queue.log
 }
-run exp_c3 tools/exp_c3_r5.py
-run config4_v1 bench.py --config 4 --burst 8 --repeats 2
-run config5_v1 bench.py --config 5 --repeats 2 --c5-replay-every 32
-echo "QUEUE B DONE $(date +%T)" >> $OUT/queue.log
-# appended (queue still running reads this? no — run separately)
+run exp_c3b tools/exp_c3b_r5.py
+echo "QUEUE C DONE $(date +%T)" >> $OUT/queue.log
