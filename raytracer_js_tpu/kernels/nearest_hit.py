@@ -53,14 +53,34 @@ def _first_forward(t_near, t_far, valid):
     return jnp.where(valid, t, _INF)
 
 
-def _update(best, t_mat, k0, gid_base):
-    """Fold an [R, K] hit matrix into the (t_best, pid_best) running state."""
-    t_best, pid_best = best
-    tmin = jnp.min(t_mat, axis=1, keepdims=True)            # [R, 1]
-    amin = jnp.argmin(t_mat, axis=1).astype(jnp.int32)[:, None]
-    upd = tmin < t_best
-    t_best = jnp.where(upd, tmin, t_best)
-    pid_best = jnp.where(upd, amin + (k0 + gid_base), pid_best)
+def _update(best, t_mat, lane, k0, gid_base):
+    """Fold an [R, K] hit matrix into the LANE-RESIDENT running min.
+
+    State is (t, pid) per (ray, lane): one compare + two selects per tile
+    instead of the per-tile cross-lane min+argmin (two 7-step lane
+    reductions — r5 measured them costing about as much as the
+    intersection math itself). The single cross-lane reduce happens once
+    per block in :func:`_finalize` (and once per CHUNK_T tiles for the
+    early-exit horizon).
+    """
+    t_lane, pid_lane = best
+    upd = t_mat < t_lane
+    t_lane = jnp.where(upd, t_mat, t_lane)
+    pid_lane = jnp.where(upd, lane + (k0 + gid_base), pid_lane)
+    return t_lane, pid_lane
+
+
+def _finalize(best):
+    """Cross-lane reduce of the lane-resident state -> [R, 1] (t, pid).
+
+    Ties across lanes resolve to the LOWEST pid (brute argmin semantics);
+    within a lane the earliest-streamed tile wins (strict ``<`` in
+    :func:`_update`)."""
+    t_lane, pid_lane = best
+    t_best = jnp.min(t_lane, axis=1, keepdims=True)
+    pid_best = jnp.min(jnp.where(t_lane <= t_best, pid_lane,
+                                 jnp.int32(2147483647)),
+                       axis=1, keepdims=True)
     return t_best, pid_best
 
 
@@ -111,10 +131,18 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
 #: experiments (tools/exp_nh_blockr.py).
 CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
 
+#: rays per PROGRAM in the listed variant (tile selection stays at
+#: BLOCK_R granularity — see _nearest_hit_kernel_listed). Smaller
+#: sub-blocks exit the near-to-far stream earlier (each exits on its own
+#: 64-ray horizon instead of the worst straggler of 512); r5 measured the
+#: config-4 sweep kernel 406 -> ~180 ms at 64. Env-tunable for
+#: experiments (tools/exp_r5_c4.py).
+SUB_R = int(__import__("os").environ.get("RT_NH_SUB_R", "64"))
+
 
 def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
                                n_tri, n_rays, sph_listed, tri_listed,
-                               sph_fan=1, tri_fan=1):
+                               sph_fan=1, tri_fan=1, rpl=1):
     # refs layout: [ids_s, tlo_s]? + [ids_t, tlo_t]? + org, dir, sph, box,
     # tri, t_out, pid_out — presence of the list pairs is static
     k = 0
@@ -128,9 +156,14 @@ def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
     org_ref, dir_ref, sph_ref, box_ref, tri_ref, t_ref, pid_ref = refs[k:]
     i = pl.program_id(0)
     r0 = t_ref.shape[0]
+    # SUB-BLOCK grid (r5): tile selection stays at BLOCK_R-ray
+    # granularity (its argsort cost scales with block count) but each
+    # program runs only SUB_R rays against the parent's sorted list, so
+    # the near-to-far early exit fires on the sub-block's own tighter
+    # horizon — ``rpl`` = BLOCK_R // SUB_R programs share one list row.
     # ids/tlo ride 8-row SMEM windows (Mosaic requires block sublane dims
-    # divisible by 8); this program's row within its window is i % 8
-    ids_row = i % 8
+    # divisible by 8); this program's row within its window:
+    ids_row = (i // rpl) % 8
 
     @pl.when(i * r0 >= nl_ref[0, 0])
     def _dead_block():
@@ -173,8 +206,9 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (r_blk, BLOCK_K), 1)
 
-    t_best = jnp.full((r_blk, 1), _INF, jnp.float32)
-    pid_best = jnp.full((r_blk, 1), -1, jnp.int32)
+    # lane-resident running min (see _update/_finalize)
+    t_best = jnp.full((r_blk, BLOCK_K), _INF, jnp.float32)
+    pid_best = jnp.zeros((r_blk, BLOCK_K), jnp.int32)
     best = (t_best, pid_best)
 
     # ---- spheres: rows cx, cy, cz, (c.c - r^2) --------------------------
@@ -231,11 +265,14 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         b_half = o_dot_d - d_dot_c                           # [R, K]
         c = o_dot_o - 2.0 * o_dot_c + ccmr
         disc = b_half * b_half - a * c
-        valid = (disc >= 0.0) & (lane + k0 < n_sph)
+        # padded lanes carry ccmr = +inf (poisoned in nearest_hit_pallas)
+        # -> disc = -inf -> invalid, so no lane-bound mask is needed
+        valid = disc >= 0.0
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t_near = (-b_half - sq) * inv_a
         t_far = (-b_half + sq) * inv_a
-        return _update(best, _first_forward(t_near, t_far, valid), k0, 0)
+        return _update(best, _first_forward(t_near, t_far, valid), lane,
+                       k0, 0)
 
     def sphere_tile_body(k, best):
         return sphere_math(k * BLOCK_K, best)
@@ -276,7 +313,11 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
 
             def chunk_cond(carry):
                 j, t_best, _pid = carry
-                t_hi = jnp.max(jnp.minimum(t_best, t_cap))
+                # per-ray horizon = min over lanes of the lane-resident
+                # min, capped at the ray's bbox exit; stream while any
+                # ray's horizon still reaches the next tile
+                t_hi = jnp.max(jnp.min(jnp.minimum(t_best, t_cap),
+                                       axis=1))
                 return (j < t_pad) & (tlo_r[ids_row, j] <= t_hi)
 
             def chunk_body(carry):
@@ -344,7 +385,7 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         t_exit = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
         valid = (t_enter <= t_exit) & (lane + k0 < n_box)
         return _update(best, _first_forward(t_enter, t_exit, valid),
-                       k0, n_sph)
+                       lane, k0, n_sph)
 
     best = jax.lax.fori_loop(0, pl.cdiv(n_box, BLOCK_K), box_tile, best)
 
@@ -370,9 +411,12 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         qz = sx * e1y - sy * e1x
         v = (dx * qx + dy * qy + dz * qz) * inv_det
         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        # padded lanes are all-zero vertices -> det = 0 -> invalid, so no
+        # lane-bound mask is needed
         valid = ((jnp.abs(det) >= _MT_EPS) & (u >= 0.0) & (v >= 0.0)
-                 & (u + v <= 1.0) & (t >= 0.0) & (lane + k0 < n_tri))
-        return _update(best, jnp.where(valid, t, _INF), k0, n_sph + n_box)
+                 & (u + v <= 1.0) & (t >= 0.0))
+        return _update(best, jnp.where(valid, t, _INF), lane, k0,
+                       n_sph + n_box)
 
     if ids_t_ref is not None:
         best = listed_scan(ids_t_ref, tlo_t_ref, tri_math, best,
@@ -382,7 +426,7 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                                  lambda k, b: tri_math(k * BLOCK_K, b),
                                  best)
 
-    t_best, pid_best = best
+    t_best, pid_best = _finalize(best)
     # mask rows past the wavefront tail (padded rays)
     row = jax.lax.broadcasted_iota(jnp.int32, (r_blk, 1), 0) + i * r_blk
     live = row < n_rays
@@ -407,13 +451,17 @@ def _nearest_hit_call_listed(nl, bbox, lists, org, dir, sph, box, tri,
                              sph_fan=1, tri_fan=1, interpret=False):
     n_sph, n_box, n_tri, n_rays = meta
     n_pad = org.shape[0]
-    grid = (n_pad // BLOCK_R,)
+    sub_r = min(SUB_R, BLOCK_R)
+    assert BLOCK_R % sub_r == 0, (BLOCK_R, sub_r)
+    rpl = BLOCK_R // sub_r
+    grid = (n_pad // sub_r,)
     kern = functools.partial(_nearest_hit_kernel_listed, n_sph=n_sph,
                              n_box=n_box, n_tri=n_tri, n_rays=n_rays,
                              sph_listed=sph_listed, tri_listed=tri_listed,
-                             sph_fan=sph_fan, tri_fan=tri_fan)
+                             sph_fan=sph_fan, tri_fan=tri_fan, rpl=rpl)
     list_specs = [
-        pl.BlockSpec((8, a.shape[1]), lambda i: (i // 8, 0),
+        pl.BlockSpec((8, a.shape[1]),
+                     lambda i, rpl=rpl: (i // (8 * rpl), 0),
                      memory_space=pltpu.SMEM)
         for a in lists
     ]
@@ -426,9 +474,9 @@ def _nearest_hit_call_listed(nl, bbox, lists, org, dir, sph, box, tri,
             pl.BlockSpec(bbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             *list_specs,
-            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+            pl.BlockSpec((sub_r, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 3), lambda i: (i, 0),
+            pl.BlockSpec((sub_r, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sph.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -438,9 +486,9 @@ def _nearest_hit_call_listed(nl, bbox, lists, org, dir, sph, box, tri,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+            pl.BlockSpec((sub_r, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_R, 1), lambda i: (i, 0),
+            pl.BlockSpec((sub_r, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -821,6 +869,11 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
                      scene.sphere_center[:, 2],
                      c_dot_c - scene.sphere_radius ** 2,
                      rows=4, pad_to=pad_k(scene.n_spheres, sph_fan))
+    # POISON padded sphere lanes: ccmr = +inf -> disc = -inf -> invalid,
+    # which lets the kernel drop the per-tile lane-bound mask (a zero pad
+    # is a radius-0 sphere at the origin — a real false hit)
+    if sph.shape[1] > scene.n_spheres:
+        sph = sph.at[3, scene.n_spheres:].set(_INF)
     box = _pack_rows(scene.box_center[:, 0], scene.box_center[:, 1],
                      scene.box_center[:, 2], scene.box_half[:, 0],
                      scene.box_half[:, 1], scene.box_half[:, 2],
