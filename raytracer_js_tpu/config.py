@@ -180,6 +180,14 @@ class OctreeConfig:
 #: RT_TILE_CHUNK         16       frozen        r2 candidate seg alignment
 #: RT_FRAME_SHORT_MIN    12       frozen        r2 frame-shortlist crossover
 #: RT_SHORTLIST_MIN      4096     frozen        r1: shortlists lose at <=50
+#: RT_NH_SUB_R           64       frozen        r5 exp_c4 sub-block sweep
+#: RT_SWEEP_LISTED       on       frozen        r4 listed cull + early exit
+#: RT_LISTED_MAX_TILES   2048     frozen        r4 SMEM id-window cap
+#: RT_TILED_ROUNDS       10       frozen        r2 retry-round convergence
+#: RT_TILED_ESC_MAX      16384    frozen        r3 scoped-VMEM wave cap
+#: RT_TILED_SWEEP_MAX    1048576  frozen        r4: sweep ~2x packet @1M
+#: RT_TILED_SWEEP_SLICE  655360   frozen        r3 sweep-slice sizing
+#: RT_TILED_RESCUE_CAP   65536    frozen        r3 straggler-count sizing
 #: RT_SWEEP_CULL         off      experimental  r3: cull REGRESSED (1.15 s
 #:                                              vs 0.93 s) — opt-in only
 #: RT_GATHER_SPLIT       off      experimental  forward-only precision (see
@@ -197,9 +205,12 @@ def tunables() -> dict:
     import os
 
     names = ["RT_FUSE_SUB", "RT_NH_BLOCK_R", "RT_NH_CHUNK_T",
-             "RT_TILED_MIN_PRIMS", "RT_TILE_SUB", "RT_WAVE_SUB",
-             "RT_TILED_SEG", "RT_TILE_CHUNK", "RT_FRAME_SHORT_MIN",
-             "RT_SHORTLIST_MIN", "RT_SWEEP_CULL", "RT_GATHER_SPLIT",
+             "RT_NH_SUB_R", "RT_TILED_MIN_PRIMS", "RT_TILE_SUB",
+             "RT_WAVE_SUB", "RT_TILED_SEG", "RT_TILE_CHUNK",
+             "RT_FRAME_SHORT_MIN", "RT_SHORTLIST_MIN", "RT_SWEEP_LISTED",
+             "RT_LISTED_MAX_TILES", "RT_TILED_ROUNDS", "RT_TILED_ESC_MAX",
+             "RT_TILED_SWEEP_MAX", "RT_TILED_SWEEP_SLICE",
+             "RT_TILED_RESCUE_CAP", "RT_SWEEP_CULL", "RT_GATHER_SPLIT",
              "RT_REPLAY_CKPT", "RT_NO_SHORTLIST", "RT_NO_FRAME_KERNEL",
              "RT_NO_FRAME_SHORT"]
     return {k: os.environ[k] for k in names if k in os.environ}

@@ -133,11 +133,12 @@ CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
 
 #: rays per PROGRAM in the listed variant (tile selection stays at
 #: BLOCK_R granularity — see _nearest_hit_kernel_listed). Smaller
-#: sub-blocks exit the near-to-far stream earlier (each exits on its own
-#: 64-ray horizon instead of the worst straggler of 512); r5 measured the
-#: config-4 sweep kernel 406 -> ~180 ms at 64. Env-tunable for
-#: experiments (tools/exp_r5_c4.py).
-SUB_R = int(__import__("os").environ.get("RT_NH_SUB_R", "64"))
+#: sub-blocks exit the near-to-far stream on tighter horizons, but r5
+#: measured per-program overhead swamping the gain at the config-4 shape
+#: (kernel ms: 426 @512, 445 @128, 544 @64, 742 @32 — exp_c4.jsonl), so
+#: the frozen default keeps one program per selection block. The
+#: mechanism stays for narrower-population callers (tools/exp_r5_c4.py).
+SUB_R = int(__import__("os").environ.get("RT_NH_SUB_R", "512"))
 
 
 def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
@@ -260,8 +261,15 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         sl = pl.ds(k0, BLOCK_K)
         cT = sph_ref[0:3, sl]                                # [3, K]
         ccmr = sph_ref[3:4, sl]                              # c.c - r^2
-        d_dot_c = jnp.dot(d3, cT, preferred_element_type=jnp.float32)
-        o_dot_c = jnp.dot(o3, cT, preferred_element_type=jnp.float32)
+        # HIGHEST is CORRECTNESS here, not style: default-precision dots
+        # bf16-round o/d/c, and the factored c = o.o - 2 o.c + (c.c - r^2)
+        # then flips near-miss discriminants positive (r5 probe: disc
+        # -0.124 -> +0.048 on a 600-sphere scene = phantom hits at ~25%
+        # of miss rays). The project rule exists for exactly this op.
+        d_dot_c = jnp.dot(d3, cT, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        o_dot_c = jnp.dot(o3, cT, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         b_half = o_dot_d - d_dot_c                           # [R, K]
         c = o_dot_o - 2.0 * o_dot_c + ccmr
         disc = b_half * b_half - a * c

@@ -97,8 +97,11 @@ def _atlas_gather(atlas: Array, img_row: Array, row: Array,
     tmp = onehot_gather(flat // g, tabw)                  # [N, g*3]
     lo = flat % g
     sel = (lo[:, None] == jnp.arange(g, dtype=jnp.int32)[None, :])
+    # HIGHEST: if XLA lowers the batched contraction onto the MXU, default
+    # precision would bf16-round the texel colors (the project-wide rule)
     return jnp.einsum("nl,nlc->nc", sel.astype(tab.dtype),
-                      tmp.reshape(-1, g, 3))
+                      tmp.reshape(-1, g, 3),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def sample(tex: TextureTable, tex_id: Array, u: Array, v: Array) -> Array:

@@ -84,3 +84,36 @@ def test_scalar_kernel_matches_brute():
     np.testing.assert_allclose(t_p[hit], t_b[hit], rtol=1e-4, atol=1e-6)
     assert np.array_equal(p_p[~hit], p_b[~hit])
     assert (p_p[hit] != p_b[hit]).mean() < 0.02
+
+
+def test_kernel_near_miss_field_no_phantom_hits():
+    """r5 regression: a multi-tile sphere field rich in near-miss rays.
+
+    The tile kernel's MXU-factored o.c / d.c dots ran at DEFAULT matmul
+    precision, whose bf16 operand rounding flipped near-miss discriminants
+    positive (disc -0.124 -> +0.048) — ~25% of true MISS rays reported
+    phantom hits on chip (and under this environment's CPU lowering).
+    Interpret-mode parity vs brute over 512 primaries catches the class;
+    needs >= 2 prim tiles so the dense tile loop (not the scalar variant)
+    is exercised.
+    """
+    from raytracer_js_tpu import ResponseType, SceneBuilder, make_camera
+    from raytracer_js_tpu.models.camera import pixel_rays
+
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((0.35, 0.45, 0.65)))
+    m = b.add_material(ResponseType.REFLECTION)
+    tex = b.add_solid_texture((0.8, 0.3, 0.2))
+    rng = np.random.default_rng(0)
+    for _ in range(600):
+        p = rng.uniform(-4, 4, 3)
+        p[0] += 8
+        b.add_sphere(tuple(p), 0.25, m, tex)
+    scene = b.build()
+    cam = make_camera((0, 0, 0.5), 32, 32, np.pi / 2, np.pi / 2)
+    org, d = pixel_rays(cam)
+    t_b, p_b = map(np.asarray, nearest_hit_brute(scene, org, d))
+    t_p, p_p = map(np.asarray, nearest_hit_pallas(scene, org, d))
+    assert np.array_equal(p_p, p_b)
+    hit = p_b >= 0
+    np.testing.assert_allclose(t_p[hit], t_b[hit], rtol=1e-3, atol=1e-3)
