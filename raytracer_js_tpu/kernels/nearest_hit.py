@@ -273,14 +273,19 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         b_half = o_dot_d - d_dot_c                           # [R, K]
         c = o_dot_o - 2.0 * o_dot_c + ccmr
         disc = b_half * b_half - a * c
-        # padded lanes carry ccmr = +inf (poisoned in nearest_hit_pallas)
-        # -> disc = -inf -> invalid, so no lane-bound mask is needed
-        valid = disc >= 0.0
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_near = (-b_half - sq) * inv_a
-        t_far = (-b_half + sq) * inv_a
-        return _update(best, _first_forward(t_near, t_far, valid), lane,
-                       k0, 0)
+        # NaN-POISON validity: sqrt(disc < 0) = NaN propagates through
+        # t_near/t_far, every NaN compare is false, so misses fold to INF
+        # in the select chain without an explicit disc>=0 mask (3 fewer
+        # VPU ops/tile). Padded lanes carry ccmr = +inf (poisoned in
+        # nearest_hit_pallas) -> disc = -inf -> NaN -> INF, so no
+        # lane-bound mask either. t_near >= 0 implies t_far >= 0, so one
+        # forwardness test on t_far suffices.
+        sq = jnp.sqrt(disc)
+        u = (d_dot_c - o_dot_d) * inv_a                      # -b_half/a
+        s = sq * inv_a
+        t_sel = jnp.where(u - s >= 0.0, u - s, u + s)
+        t_mat = jnp.where(u + s >= 0.0, t_sel, _INF)
+        return _update(best, t_mat, lane, k0, 0)
 
     def sphere_tile_body(k, best):
         return sphere_math(k * BLOCK_K, best)

@@ -19,6 +19,7 @@ filtering matches texture_image.ts:40-63 (bilinear is an explicit TODO there).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
