@@ -140,6 +140,11 @@ CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
 #: mechanism stays for narrower-population callers (tools/exp_r5_c4.py).
 SUB_R = int(__import__("os").environ.get("RT_NH_SUB_R", "512"))
 
+#: contiguous 128-sphere tiles per dense HIGHEST dot pair (the sphere
+#: table is padded+poisoned to this granularity); amortizes the 6-pass
+#: exact-dot setup that costs ~2x at per-tile granularity.
+DENSE_SPAN = 4
+
 
 def _nearest_hit_kernel_listed(nl_ref, bbox_ref, *refs, n_sph, n_box,
                                n_tri, n_rays, sph_listed, tri_listed,
@@ -254,41 +259,72 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         use_cone = cos_t >= 0.25
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
 
-    def sphere_math(k0, best):
-        # k0 may be a TRACED tile offset (listed variant): pl.ds dynamic
-        # block slices on the lane dim are supported; only per-lane gathers
-        # are not
-        sl = pl.ds(k0, BLOCK_K)
-        cT = sph_ref[0:3, sl]                                # [3, K]
-        ccmr = sph_ref[3:4, sl]                              # c.c - r^2
-        # HIGHEST is CORRECTNESS here, not style: default-precision dots
-        # bf16-round o/d/c, and the factored c = o.o - 2 o.c + (c.c - r^2)
-        # then flips near-miss discriminants positive (r5 probe: disc
-        # -0.124 -> +0.048 on a 600-sphere scene = phantom hits at ~25%
-        # of miss rays). The project rule exists for exactly this op.
+    def _sphere_eval(cT, ccmr):
+        """t matrix [R, L] for an [3, L]/[1, L] sphere slab (L = any
+        multiple of BLOCK_K).
+
+        HIGHEST on the o.c / d.c dots is CORRECTNESS, not style:
+        default-precision dots bf16-round o/d/c, and the factored
+        c = o.o - 2 o.c + (c.c - r^2) then flips near-miss discriminants
+        positive (r5 probe: disc -0.124 -> +0.048 on a 600-sphere scene =
+        phantom hits at ~25% of miss rays). HIGHEST's 6 bf16 passes cost
+        ~2x on per-tile dots (426 -> 811 ms at the config-4 shape), so
+        callers batch L = CHUNK_T (or fan) tiles per dot pair to amortize
+        the pass setup.
+
+        NaN-POISON validity: sqrt(disc < 0) = NaN propagates through the
+        select chain (every NaN compare is false), so misses fold to INF
+        without an explicit disc>=0 mask. Padded lanes carry ccmr = +inf
+        (poisoned in nearest_hit_pallas) -> disc = -inf -> NaN -> INF, so
+        no lane-bound mask either. t_near >= 0 implies t_far >= 0, so one
+        forwardness test on t_far suffices.
+        """
         d_dot_c = jnp.dot(d3, cT, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
         o_dot_c = jnp.dot(o3, cT, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-        b_half = o_dot_d - d_dot_c                           # [R, K]
+        b_half = o_dot_d - d_dot_c                           # [R, L]
         c = o_dot_o - 2.0 * o_dot_c + ccmr
         disc = b_half * b_half - a * c
-        # NaN-POISON validity: sqrt(disc < 0) = NaN propagates through
-        # t_near/t_far, every NaN compare is false, so misses fold to INF
-        # in the select chain without an explicit disc>=0 mask (3 fewer
-        # VPU ops/tile). Padded lanes carry ccmr = +inf (poisoned in
-        # nearest_hit_pallas) -> disc = -inf -> NaN -> INF, so no
-        # lane-bound mask either. t_near >= 0 implies t_far >= 0, so one
-        # forwardness test on t_far suffices.
         sq = jnp.sqrt(disc)
         u = (d_dot_c - o_dot_d) * inv_a                      # -b_half/a
         s = sq * inv_a
         t_sel = jnp.where(u - s >= 0.0, u - s, u + s)
-        t_mat = jnp.where(u + s >= 0.0, t_sel, _INF)
-        return _update(best, t_mat, lane, k0, 0)
+        return jnp.where(u + s >= 0.0, t_sel, _INF)
+
+    def sphere_run(k0, n_t, best):
+        """n_t CONTIGUOUS 128-sphere tiles from lane k0: one slice, one
+        HIGHEST dot pair, n_t elementwise folds."""
+        sl = pl.ds(k0, n_t * BLOCK_K)
+        t_mat = _sphere_eval(sph_ref[0:3, sl], sph_ref[3:4, sl])
+        for i in range(n_t):
+            seg = jax.lax.slice_in_dim(t_mat, i * BLOCK_K,
+                                       (i + 1) * BLOCK_K, axis=1)
+            best = _update(best, seg, lane, k0 + i * BLOCK_K, 0)
+        return best
+
+    def sphere_scatter(bases, best):
+        """Non-contiguous 128-sphere tiles (listed fan=1 chunks): concat
+        the slices so the HIGHEST dot pair runs once for the chunk."""
+        cT = jnp.concatenate(
+            [sph_ref[0:3, pl.ds(b, BLOCK_K)] for b in bases], axis=1)
+        ccmr = jnp.concatenate(
+            [sph_ref[3:4, pl.ds(b, BLOCK_K)] for b in bases], axis=1)
+        t_mat = _sphere_eval(cT, ccmr)
+        for i, b in enumerate(bases):
+            seg = jax.lax.slice_in_dim(t_mat, i * BLOCK_K,
+                                       (i + 1) * BLOCK_K, axis=1)
+            best = _update(best, seg, lane, b, 0)
+        return best
+
+    def sphere_math(k0, best):
+        # k0 may be a TRACED tile offset (listed variant): pl.ds dynamic
+        # block slices on the lane dim are supported; only per-lane
+        # gathers are not
+        return sphere_run(k0, 1, best)
 
     def sphere_tile_body(k, best):
-        return sphere_math(k * BLOCK_K, best)
+        return sphere_run(k * (BLOCK_K * DENSE_SPAN), DENSE_SPAN, best)
 
     if (ids_ref is not None) or (ids_t_ref is not None):
         # LISTED variant with NEAR-TO-FAR EARLY EXIT: stream the tiles the
@@ -316,12 +352,13 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
             exit_axis(oz, iz, lo_z, hi_z))                   # [R, 1]
         t_cap = jnp.maximum(t_exit, 0.0) * (1.0 + 1e-4) + 1e-3
 
-        def listed_scan(ids_r, tlo_r, math_fn, best, fan=1):
-            # ``fan`` > 1: ids index SUPERTILES of ``fan`` consecutive
-            # 128-prim tiles (granularity chosen so the id table fits its
-            # SMEM window at any prim count — render_tiled._sweep_perm);
-            # the inner expansion is static, so streaming stays
-            # cond-free between the per-chunk exit checks
+        def listed_scan(ids_r, tlo_r, chunk_fn, best):
+            # ``chunk_fn(j, best)`` folds the CHUNK_T (super)tiles at list
+            # position j; supertile fans (ids index ``fan`` consecutive
+            # 128-prim tiles, granularity chosen so the id table fits its
+            # SMEM window at any prim count — render_tiled._sweep_perm)
+            # expand statically inside it, so streaming stays cond-free
+            # between the per-chunk exit checks
             t_pad = tlo_r.shape[1]
 
             def chunk_cond(carry):
@@ -335,11 +372,7 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
 
             def chunk_body(carry):
                 j, t_best, pid_best = carry
-                b = (t_best, pid_best)
-                for k in range(CHUNK_T):
-                    base = ids_r[ids_row, j + k] * (BLOCK_K * fan)
-                    for f in range(fan):
-                        b = math_fn(base + f * BLOCK_K, b)
+                b = chunk_fn(j, (t_best, pid_best))
                 return j + CHUNK_T, b[0], b[1]
 
             _, t_best, pid_best = jax.lax.while_loop(
@@ -349,10 +382,24 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
         listed_scan = None
 
     if ids_ref is not None:
-        best = listed_scan(ids_ref, tlo_ref, sphere_math, best,
-                           fan=sph_fan)
+        if sph_fan > 1:
+            # supertiles are contiguous fan*128 spans: one dot pair each
+            def sph_chunk(j, b):
+                for k in range(CHUNK_T):
+                    base = ids_ref[ids_row, j + k] * (BLOCK_K * sph_fan)
+                    b = sphere_run(base, sph_fan, b)
+                return b
+        else:
+            # scattered 128-tiles: concat the chunk so the dot pair runs
+            # once per CHUNK_T tiles
+            def sph_chunk(j, b):
+                bases = [ids_ref[ids_row, j + k] * BLOCK_K
+                         for k in range(CHUNK_T)]
+                return sphere_scatter(bases, b)
+
+        best = listed_scan(ids_ref, tlo_ref, sph_chunk, best)
     elif tb_ref is None:
-        best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K),
+        best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K * DENSE_SPAN),
                                  sphere_tile_body, best)
     else:
         def sphere_tile(k, best):
@@ -369,7 +416,8 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
             include = (inside
                        | (cos_b >= cos_a * cos_t - sin_a * sin_t - 1e-5)
                        | ~use_cone)
-            return jax.lax.cond(include, lambda b: sphere_tile_body(k, b),
+            return jax.lax.cond(include,
+                                lambda b: sphere_run(k * BLOCK_K, 1, b),
                                 lambda b: b, best)
 
         best = jax.lax.fori_loop(0, pl.cdiv(n_sph, BLOCK_K), sphere_tile,
@@ -432,8 +480,16 @@ def _nearest_hit_block(i, org_ref, dir_ref, sph_ref, box_ref, tri_ref,
                        n_sph + n_box)
 
     if ids_t_ref is not None:
-        best = listed_scan(ids_t_ref, tlo_t_ref, tri_math, best,
-                           fan=tri_fan)
+        # Moeller-Trumbore is fully elementwise (no dots to amortize), so
+        # the tri chunk handler just expands tiles statically
+        def tri_chunk(j, b):
+            for k in range(CHUNK_T):
+                base = ids_t_ref[ids_row, j + k] * (BLOCK_K * tri_fan)
+                for f in range(tri_fan):
+                    b = tri_math(base + f * BLOCK_K, b)
+            return b
+
+        best = listed_scan(ids_t_ref, tlo_t_ref, tri_chunk, best)
     else:
         best = jax.lax.fori_loop(0, pl.cdiv(n_tri, BLOCK_K),
                                  lambda k, b: tri_math(k * BLOCK_K, b),
@@ -878,10 +934,14 @@ def nearest_hit_pallas(scene: Scene, org: Array, dir: Array,
         return -(-max(x, 1) // k_pad) * k_pad
 
     c_dot_c = jnp.sum(scene.sphere_center ** 2, axis=-1)
+    # sphere pad covers BOTH the supertile fan and the dense DENSE_SPAN
+    # dot batching (poisoned below, so over-reads are harmless misses)
     sph = _pack_rows(scene.sphere_center[:, 0], scene.sphere_center[:, 1],
                      scene.sphere_center[:, 2],
                      c_dot_c - scene.sphere_radius ** 2,
-                     rows=4, pad_to=pad_k(scene.n_spheres, sph_fan))
+                     rows=4,
+                     pad_to=pad_k(scene.n_spheres,
+                                  max(sph_fan, DENSE_SPAN)))
     # POISON padded sphere lanes: ccmr = +inf -> disc = -inf -> invalid,
     # which lets the kernel drop the per-tile lane-bound mask (a zero pad
     # is a radius-0 sphere at the origin — a real false hit)

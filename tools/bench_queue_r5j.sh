@@ -1,0 +1,15 @@
+#!/bin/bash
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+OUT=/root/repo/tools/bench_results_r5
+while ! grep -q "QUEUE I DONE" $OUT/queue.log 2>/dev/null; do sleep 30; done
+run() {
+  name=$1; shift
+  echo "=== $name start $(date +%T) ===" >> $OUT/queue.log
+  timeout 7200 "$@" > $OUT/$name.json 2> $OUT/$name.err
+  echo "=== $name exit $? $(date +%T) ===" >> $OUT/queue.log
+}
+run exp_c4_chunked python tools/exp_r5_c4.py
+run config4_v4 python bench.py --config 4 --burst 8 --repeats 2
+run config5_v2 python bench.py --config 5 --repeats 2 --c5-replay-every 32
+echo "QUEUE J DONE $(date +%T)" >> $OUT/queue.log

@@ -19,10 +19,6 @@ import numpy as np
 from bench import _materialize, _time_sustained, build_config3_scene
 
 
-def solидify(scene):
-    pass
-
-
 def main():
     from raytracer_js_tpu import RenderConfig, make_camera, render_hdr
     from raytracer_js_tpu.config import HitBackend, TextureKind
