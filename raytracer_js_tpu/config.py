@@ -124,6 +124,13 @@ class RenderConfig:
     #: exposure_buffer.ts:53-91).
     spp: int = 1
     backend: HitBackend = HitBackend.BRUTE
+    #: genuine ``ResponseType.BOTH`` (EXTENSION): stochastic Fresnel split
+    #: — each BOTH hit continues as the reflected OR refracted ray with
+    #: Schlick probability drawn from the (seed, ray id, bounce) counter
+    #: RNG (single-sample unbiased; average over frames/spp like rough
+    #: scatter). False reproduces the reference's terminal default
+    #: (material.ts:25 declared, raytracer.ts:250-251 default-returns).
+    fresnel_both: bool = False
     #: unroll the bounce fori_loop. Unrolling lets XLA fuse across bounces
     #: but multiplies trace size by refmax (first compiles over the remote
     #: TPU tunnel were observed at ~10 min unrolled vs seconds rolled).

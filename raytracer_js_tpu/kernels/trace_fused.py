@@ -95,8 +95,11 @@ def supports(scene: Scene) -> bool:
     image textures remain the one exclusion (atlas gathers need dynamic
     lane indexing Mosaic does not have — those scenes route to TILED/PALLAS);
     cube-map skies likewise sample per-face textures in the glue.
+    ResponseType.BOTH scenes route to the XLA paths (the kernel's mode
+    decode has no Fresnel-split branch — ops/trace._bounce owns it).
     """
-    return not scene.textures.has_images and scene.sky_box is None
+    return (not scene.textures.has_images and scene.sky_box is None
+            and not scene.has_both)
 
 
 def _trace_core(ox, oy, oz, dx, dy, dz,

@@ -77,6 +77,11 @@ class Scene:
     # per-ray threefry bits per bounce). Defaults are conservative.
     has_transmission: bool = struct.field(pytree_node=False, default=True)
     has_rough: bool = struct.field(pytree_node=False, default=True)
+    #: any material declares ResponseType.BOTH. The reference declares the
+    #: value but its trace loop default-returns on it (material.ts:25,
+    #: raytracer.ts:250-251) — reproduced when RenderConfig.fresnel_both
+    #: is False; True enables the Fresnel-split extension (ops/trace).
+    has_both: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_spheres(self) -> int:
@@ -307,8 +312,14 @@ class SceneBuilder:
             default_refr=jnp.asarray(self._default_refr, jnp.float32),
             sky_tex=int(self._sky_tex),
             sky_box=self._sky_box,
+            # BOTH rides the transmission machinery (substance query +
+            # Snell/TIR), so it implies has_transmission
             has_transmission=any(
-                int(self._materials[i[0]][0]) == int(ResponseType.TRANSMISSION)
+                int(self._materials[i[0]][0]) in (
+                    int(ResponseType.TRANSMISSION), int(ResponseType.BOTH))
                 for i in ids),
             has_rough=any(float(self._materials[i[0]][3]) > 0.0 for i in ids),
+            has_both=any(
+                int(self._materials[i[0]][0]) == int(ResponseType.BOTH)
+                for i in ids),
         )

@@ -37,6 +37,8 @@ Array = jnp.ndarray
 _TWO_PI = float(2.0 * np.pi)
 #: salts decorrelating the per-(ray, bounce) draws
 SALT_Z, SALT_PHI, SALT_R = 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35
+#: Fresnel reflect-vs-refract choice for ResponseType.BOTH (extension)
+SALT_FRESNEL = 0x27D4EB2F
 
 
 def seed_from_key(key: Array) -> Array:

@@ -554,7 +554,7 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
         target_refr, do_refract = substance_refr_at(scene, adv_point,
                                                     state.refr, accel=accel)
         eta = state.refr / jnp.maximum(target_refr, 1e-6)
-        refr_dir, _tir = refract(state.dir, normal, eta)
+        refr_dir, tir = refract(state.dir, normal, eta)
         trans_dir = jnp.where(do_refract[:, None], refr_dir, state.dir)
         new_refr = jnp.where(do_refract, target_refr, state.refr)
     else:
@@ -563,6 +563,30 @@ def _bounce(scene: Scene, cfg: RenderConfig, accel, state: RayState,
     # --- select continuation -------------------------------------------------
     cont_mirror = hit & ~is_light & is_refl & is_mirror
     cont_trans = hit & ~is_light & is_trans & scene.has_transmission
+    if scene.has_both and cfg.fresnel_both:
+        # Genuine ResponseType.BOTH (EXTENSION — the reference declares
+        # the value but its trace loop default-returns, material.ts:25,
+        # raytracer.ts:250-251): continue as the REFLECTED or REFRACTED
+        # ray with Schlick probability R = r0 + (1-r0)(1-cos)^5 drawn
+        # from the (seed, ray id, bounce) counter RNG — single-sample
+        # unbiased, wavefront-shaped (no ray duplication), bitwise
+        # identical across backends and in the scalar oracle. TIR forces
+        # the reflect branch (probability 1).
+        seed_b, rid_b = rng
+        is_both = response == int(ResponseType.BOTH)
+        cos_i = jnp.clip(jnp.abs(jnp.sum(state.dir * normal, axis=-1)),
+                         0.0, 1.0)
+        n2 = jnp.maximum(target_refr, 1e-6)
+        r0 = ((state.refr - n2) / (state.refr + n2)) ** 2
+        fres = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+        # no substance boundary -> no reflectance (pass through); TIR at
+        # a real boundary -> reflect with probability 1
+        fres = jnp.where(do_refract, jnp.where(tir, 1.0, fres), 0.0)
+        u_f = sampling.ray_uniform(seed_b, rid_b, bounce,
+                                   sampling.SALT_FRESNEL)
+        cont_both = hit & ~is_light & is_both
+        cont_mirror = cont_mirror | (cont_both & (u_f < fres))
+        cont_trans = cont_trans | (cont_both & ~(u_f < fres))
     cont = cont_mirror | cont_trans
 
     new_dir = jnp.where(cont_trans[:, None], trans_dir,
@@ -606,7 +630,8 @@ def record_paths(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                      path=zeros, refr=start_refr + zeros,
                      status=zeros.astype(jnp.int32))
     rng = ((sampling.seed_from_key(key), ray_id)
-           if scene.has_rough else None)
+           if scene.has_rough or (scene.has_both and cfg.fresnel_both)
+           else None)
     # derive the recording from ``org`` so the fori_loop carry is uniformly
     # device-varying under shard_map (same reason as trace_rays' state init)
     rec = jnp.broadcast_to((zeros.astype(jnp.int32) - 1)[:, None],
@@ -671,9 +696,10 @@ def trace_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
         status=zeros.astype(jnp.int32),
     )
     # Counter RNG coordinates (seed, global ray id) — only drawn from when
-    # some material scatters.
+    # some material scatters (rough mirrors, or the Fresnel-BOTH split).
     rng = ((sampling.seed_from_key(key), ray_id)
-           if scene.has_rough else None)
+           if scene.has_rough or (scene.has_both and cfg.fresnel_both)
+           else None)
 
     # Under cfg.remat the loop carry is kept FLAT ([n*3] instead of
     # [n, 3]): XLA assigns while-loop carries (and their VJP cotangents) a

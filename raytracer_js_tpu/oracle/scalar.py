@@ -34,6 +34,7 @@ _INF = float("inf")
 # constants duplicated (the oracle imports no JAX modules); a unit test
 # asserts they match ops.sampling.SALT_*
 _SALT_Z, _SALT_PHI, _SALT_R = 0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35
+_SALT_FRESNEL = 0x27D4EB2F
 _M32 = 0xFFFFFFFF
 
 
@@ -348,7 +349,8 @@ def refract(d, n, eta):
     return eta * d + (eta * c1 - c2) * n
 
 
-def trace_ray(s, org, dir, refmax, atten, start_refr, rng=None):
+def trace_ray(s, org, dir, refmax, atten, start_refr, rng=None,
+              fresnel_both=False):
     """Scalar twin of ops/trace.trace_rays for one ray.
 
     ``rng = (seed, rid)`` enables the exact counter-RNG scatter for rough
@@ -396,6 +398,40 @@ def trace_ray(s, org, dir, refmax, atten, start_refr, rng=None):
                 dir = refract(dir, normal, refr / max(target, 1e-6))
                 refr = target
             org = adv
+        elif fresnel_both:  # BOTH — Fresnel-split EXTENSION (twin of
+            # ops/trace._bounce; the reference default-returns instead,
+            # raytracer.ts:250-251). Same counter-RNG draw coordinates.
+            adv = point + EPS_ADVANCE * dir
+            target, do_refract = substance_refr_at(s, adv, refr)
+            n2 = max(float(target), 1e-6)
+            c1 = -float(np.dot(dir, normal))
+            eta = refr / n2
+            tir = eta * eta * (1.0 - c1 * c1) > 1.0
+            if not do_refract:
+                fres = 0.0
+            elif tir:
+                fres = 1.0
+            else:
+                r0 = ((refr - n2) / (refr + n2)) ** 2
+                cos_i = min(max(abs(c1), 0.0), 1.0)
+                fres = r0 + (1.0 - r0) * (1.0 - cos_i) ** 5
+            if rng is None:
+                raise NotImplementedError(
+                    "fresnel_both needs rng=(seed, rid) for the "
+                    "counter-hash Fresnel draw")
+            u_f = _uniform(rng[0], rng[1], _bounce, _SALT_FRESNEL)
+            if u_f < fres:
+                dir = reflect(dir, normal)
+                rough = float(s["m_rough"][mid])
+                if rough > 0:
+                    dir = _scatter_direction(rng[0], rng[1], _bounce, dir,
+                                             normal, rough)
+                org = point + EPS_ADVANCE * dir
+            else:
+                if do_refract:
+                    dir = refract(dir, normal, eta)
+                    refr = float(target)
+                org = adv
         else:  # BOTH — unhandled in the reference (raytracer.ts:250-251)
             status = int(RayStatus.KEEP)
             break
@@ -441,6 +477,8 @@ def render(scene, camera, cfg, seed: Optional[int] = None) -> np.ndarray:
             rng = (seed, y * camera.w + x) if seed is not None else None
             color, _, _ = trace_ray(s, pos, dirs[y, x], cfg.refmax,
                                     cfg.distance_attenuation_factor,
-                                    start_refr, rng=rng)
+                                    start_refr, rng=rng,
+                                    fresnel_both=getattr(
+                                        cfg, "fresnel_both", False))
             img[y, x] = color
     return img

@@ -31,6 +31,12 @@ import os as _os
 TILED_MIN_PRIMS = int(_os.environ.get("RT_TILED_MIN_PRIMS", "2048"))
 
 
+
+def _stochastic(scene: Scene, cfg: RenderConfig) -> bool:
+    """spp averaging only helps when some draw actually varies per sample:
+    rough scatter, or the Fresnel-BOTH split (RenderConfig.fresnel_both)."""
+    return scene.has_rough or (scene.has_both and cfg.fresnel_both)
+
 def start_substance(scene: Scene, pos: Array) -> Array:
     """Substance at the camera position (raytracer.ts:312-313): innermost
     containing entity's substance, or the scene default."""
@@ -69,7 +75,7 @@ def render_rays(scene: Scene, cfg: RenderConfig, org: Array, dir: Array,
                     ray_id=ray_id * cfg.spp + s, start_refr=refr0)
                 return color
 
-            if cfg.spp == 1 or not scene.has_rough:
+            if cfg.spp == 1 or not _stochastic(scene, cfg):
                 return one_fused(0)
             acc = jax.lax.fori_loop(
                 0, cfg.spp, lambda s, a: a + one_fused(s),
@@ -119,6 +125,11 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
         # keep PALLAS/FUSED (per-round sort floors dominate tiny scenes).
         # Dispatch, not the caller, owns that knowledge.
         cfg = dataclasses.replace(cfg, backend=HitBackend.PALLAS)
+    if cfg.backend == HitBackend.TILED and scene.has_both:
+        # the tiled kernels' in-kernel mode decode has no BOTH branch
+        # (terminal default OR Fresnel split) — route to the wavefront
+        # path, whose _bounce owns both semantics
+        cfg = dataclasses.replace(cfg, backend=HitBackend.PALLAS)
     if cfg.backend == HitBackend.TILED:
         from . import render_tiled as rtl
 
@@ -129,7 +140,7 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
             return rtl.render_frame_tiled(scene, cfg, camera, tables=tables,
                                           key=key, sample=s, accel=accel)
 
-        if cfg.spp == 1 or not scene.has_rough:
+        if cfg.spp == 1 or not _stochastic(scene, cfg):
             return one_tiled(0)
         acc = jax.lax.fori_loop(
             0, cfg.spp, lambda s, a: a + one_tiled(s),
@@ -149,7 +160,7 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
                     scene, cfg, camera, key=key, sample=s,
                     start_refr=refr0)
 
-            if cfg.spp == 1 or not scene.has_rough:
+            if cfg.spp == 1 or not _stochastic(scene, cfg):
                 return one_frame(0)
             acc = jax.lax.fori_loop(
                 0, cfg.spp, lambda s, a: a + one_frame(s),
