@@ -187,7 +187,9 @@ class OctreeConfig:
 #: RT_TILE_CHUNK         16       frozen        r2 candidate seg alignment
 #: RT_FRAME_SHORT_MIN    12       frozen        r2 frame-shortlist crossover
 #: RT_SHORTLIST_MIN      4096     frozen        r1: shortlists lose at <=50
-#: RT_NH_SUB_R           64       frozen        r5 exp_c4 sub-block sweep
+#: RT_NH_SUB_R           512      frozen        r5 exp_c4: sub-blocks lose
+#:                                              (426/445/544/742 ms at
+#:                                              512/128/64/32)
 #: RT_SWEEP_LISTED       on       frozen        r4 listed cull + early exit
 #: RT_LISTED_MAX_TILES   2048     frozen        r4 SMEM id-window cap
 #: RT_TILED_ROUNDS       10       frozen        r2 retry-round convergence
