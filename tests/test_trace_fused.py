@@ -294,9 +294,11 @@ def test_frame_fused_tile_shortlist_parity(monkeypatch):
     monkeypatch.setenv("RT_NO_FRAME_SHORT", "1")
     img_full = np.asarray(render_hdr(scene, cam, cfg))
     np.testing.assert_array_equal(img_s, img_full)
-    # brute stays the semantic reference
+    # brute stays the semantic reference (same refmax: the r5 shape trim
+    # left one pixel needing a 3rd bounce, which a refmax-mismatched
+    # comparison counts as a spurious EXHAUST-vs-color diff)
     img_b = np.asarray(render_hdr(
-        scene, cam, RenderConfig(refmax=3, backend=HitBackend.BRUTE)))
+        scene, cam, RenderConfig(refmax=2, backend=HitBackend.BRUTE)))
     np.testing.assert_allclose(img_s, img_b, rtol=1e-4, atol=1e-5)
     # and the shortlist actually culls for off-axis tiles
     tab = np.asarray(tf._tile_shortlists(
