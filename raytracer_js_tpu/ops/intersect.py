@@ -192,24 +192,34 @@ def box_surface(org: Array, dir: Array, center: Array, half: Array):
     d_axis = jnp.sum(dir * ax_onehot, axis=-1)
     sign = jnp.where(d_axis < 0.0, -1.0, 1.0)
     normal = -sign[..., None] * ax_onehot
-    # face index in reference FACE_NORMALS order: (-x,+x,-y,+y,-z,+z)
+    # face index in reference FACE_NORMALS order: (-x,+x,-y,+y,-z,+z).
+    # The whole uv chain is PURE F32 elementwise math on the existing
+    # ax_onehot planes — no i32 temps, no extra one-hot stacks: r5
+    # measured the original int-indexed formulation costing ~13 ms per
+    # 262k-ray sweep round inside the TILED while-loop (half the config-3
+    # image-scene round; tools/bench_results_r5/exp_c3g.jsonl) — the [n]
+    # integer temps materialize T(8,128)-padded buffers there (the r4
+    # exactness-caveat pathology). Values are bit-identical: 0..5 face
+    # arithmetic and 0/1 selector dots are exact in f32.
     outward_sign = jnp.where(entering, -sign, sign)
-    face = axis * 2 + (outward_sign > 0.0).astype(jnp.int32)
+    a0 = ax_onehot[..., 0]
+    a1 = ax_onehot[..., 1]
+    a2 = ax_onehot[..., 2]
+    face = ((a1 + 2.0 * a2) * 2.0
+            + jnp.where(outward_sign > 0.0, 1.0, 0.0))
     # local coords on the two non-axis dimensions. The divisor is
     # eps-guarded: unified-row callers feed non-box rows with zero half
     # widths whose masked lanes must stay NaN-free in primal AND gradient
-    # (real boxes are unaffected). The axis picks are one-hot contractions,
-    # not take_along_axis: the per-ray minor-dim gather VJP is a serialized
-    # scatter on TPU (measured r4: the surface VJP dominated the whole
-    # replay backward), while the one-hot dot transposes to fused
-    # elementwise multiplies.
+    # (real boxes are unaffected). The axis picks are 0/1-weighted sums,
+    # not take_along_axis: the per-ray minor-dim gather VJP is a
+    # serialized scatter on TPU (measured r4: the surface VJP dominated
+    # the whole replay backward).
     rel = jnp.clip((point - lo) / jnp.maximum(2.0 * half, 1e-12),
                    0.0, 1.0 - 2.0 ** -23)
-    b_axis = jnp.where(axis == 0, 1, 0)
-    c_axis = jnp.where(axis == 2, 1, 2)
-    u_local = jnp.sum(rel * jax_onehot3(b_axis), axis=-1)
-    v_local = jnp.sum(rel * jax_onehot3(c_axis), axis=-1)
-    u = (face.astype(rel.dtype) + u_local) / 6.0
+    # b_axis one-hot = [a1+a2, a0, 0]; c_axis one-hot = [0, a2, a0+a1]
+    u_local = rel[..., 0] * (a1 + a2) + rel[..., 1] * a0
+    v_local = rel[..., 1] * a2 + rel[..., 2] * (a0 + a1)
+    u = (face + u_local) / 6.0
     return t, point, normal, (u, v_local)
 
 
