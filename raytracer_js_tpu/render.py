@@ -136,9 +136,19 @@ def render_hdr(scene: Scene, camera: Camera, cfg: RenderConfig,
         if tables is None:
             tables = rtl.frame_tables(scene, camera)
 
-        def one_tiled(s):
-            return rtl.render_frame_tiled(scene, cfg, camera, tables=tables,
-                                          key=key, sample=s, accel=accel)
+        if scene.textures.has_images or scene.sky_box is not None:
+            # image scenes: solid-search record pass + flat replay shading
+            # (in-loop image shading costs ~3x per round — an XLA fusion
+            # pathology; see render_frame_tiled_replay_shaded)
+            def one_tiled(s):
+                return rtl.render_frame_tiled_replay_shaded(
+                    scene, cfg, camera, tables=tables, key=key, sample=s,
+                    accel=accel)
+        else:
+            def one_tiled(s):
+                return rtl.render_frame_tiled(
+                    scene, cfg, camera, tables=tables, key=key, sample=s,
+                    accel=accel)
 
         if cfg.spp == 1 or not _stochastic(scene, cfg):
             return one_tiled(0)

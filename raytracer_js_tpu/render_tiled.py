@@ -1019,6 +1019,63 @@ def render_frame_tiled(scene: Scene, cfg: RenderConfig, cam,
                      with_record)
 
 
+def render_frame_tiled_replay_shaded(scene: Scene, cfg: RenderConfig, cam,
+                                     tables=None, key=None, sample: int = 0,
+                                     accel=None,
+                                     interpret: Optional[bool] = None,
+                                     with_diag: bool = False):
+    """Image-scene TILED frame = SOLID-search record pass + one flat
+    replay-shading pass -> [h, w, 3].
+
+    r5 finding (tools/bench_results_r5/exp_c3d-g): shading image scenes
+    INSIDE the sweep while-loop costs ~3x the solid path per round (25 vs
+    8.6 ms at 262k rays) even with zero image content — an XLA fusion
+    pathology of the cond+sort round composition (the same components sum
+    to ~3 ms standalone; monkeypatch bisects are non-monotonic, so it is
+    not attributable to any one op). The search and respawn never read
+    texture colors, so this wrapper runs the whole TILED search on a
+    texture-SOLIDIFIED twin of the scene with ``with_record=True`` (the
+    config-5 recording machinery, record-replay parity already tested in
+    both sweep and packet modes) and shades once, flat and outside any
+    loop, with :func:`raytracer_js_tpu.ops.trace.trace_rays`
+    ``pid_seq=rec`` on the REAL scene. Exactness: winner pids, RNG
+    streams (same (key, rid, bounce) coordinates), substance chains and
+    path lengths are identical by the replay contract; colors are
+    recomputed rather than carried.
+    """
+    import dataclasses as _dc
+
+    from .config import HitBackend
+    from .models.camera import pixel_rays
+    from .ops.trace import trace_rays
+    from .render import start_substance
+
+    tex = scene.textures
+    ssc = scene.replace(
+        textures=tex.replace(kind=jnp.zeros_like(tex.kind),
+                             has_images=False, has_bilinear=False),
+        sky_box=None)
+    out = render_frame_tiled(ssc, cfg, cam, tables=tables, key=key,
+                             sample=sample, accel=accel,
+                             interpret=interpret, with_diag=with_diag,
+                             with_record=True)
+    if with_diag:
+        _img, diag, rec = out
+    else:
+        _img, rec = out
+    org, dirs = pixel_rays(cam)
+    n = org.shape[0]
+    if key is None:
+        key = jax.random.key(0)
+    rid = jnp.arange(n, dtype=jnp.int32) * cfg.spp + sample
+    refr0 = jnp.broadcast_to(start_substance(scene, cam.pos), (n,))
+    cfg_replay = _dc.replace(cfg, backend=HitBackend.BRUTE)
+    st = trace_rays(scene, cfg_replay, org, dirs, key, rid,
+                    start_refr=refr0, pid_seq=rec)
+    img = st.color.reshape(cam.h, cam.w, 3)
+    return (img, diag) if with_diag else img
+
+
 def _rtl_outs(img, unresolved, rec, cam, hp, wp, cfg, with_diag,
               with_record, rounds=None):
     """Assemble render_frame_tiled's return tuple (img | +diag | +rec)."""

@@ -217,3 +217,45 @@ def test_sweep_supertile_fan_matches_brute(monkeypatch):
     want = np.asarray(render_hdr(scene, cam, cfg))
     got, diag = render_frame_tiled(scene, cfg, cam, with_diag=True)
     _check(got, diag, want)
+
+
+def test_image_scene_replay_shaded_matches_brute():
+    """r5: image-scene TILED frames shade via a solid-search record pass +
+    flat trace_rays replay (render_frame_tiled_replay_shaded) — the
+    in-loop image composition cost ~3x per sweep round (XLA fusion
+    pathology, tools/bench_results_r5/exp_c3d-g). The deferred path must
+    match the BRUTE reference exactly on an image-textured scene."""
+    import raytracer_js_tpu as rt
+    from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder
+    from raytracer_js_tpu.config import HitBackend
+
+    b = SceneBuilder(atlas_hw=(16, 16))
+    yy = np.linspace(0.0, 1.0, 16)[:, None] * np.ones((1, 16))
+    sky_img = np.stack([0.3 + 0.3 * yy, 0.4 + 0.2 * yy,
+                        0.6 + 0.2 * yy], -1).astype(np.float32)
+    b.set_sky(b.add_image_texture(sky_img))
+    check = (np.indices((16, 16)).sum(0) % 2).astype(np.float32)[..., None]
+    checker = (check * [0.5, 0.1, 0.1] + [0.3, 0.3, 0.3]).astype(np.float32)
+    tex_check = b.add_image_texture(checker)
+    grey = b.add_solid_texture((0.55, 0.55, 0.6))
+    white = b.add_solid_texture((1.0, 1.0, 1.0))
+    diffuse = b.add_material(ResponseType.REFLECTION)
+    mirror = b.add_material(ResponseType.REFLECTION, mirror=True)
+    light = b.add_material(ResponseType.REFLECTION, light=True)
+    b.add_box((0.0, 0.0, -51.0), 100.0, diffuse, grey)
+    b.add_sphere((4.0, -1.2, 0.6), 0.8, mirror, white)
+    b.add_sphere((4.0, 1.4, 0.7), 0.9, diffuse, tex_check)
+    b.add_sphere((6.0, 1.0, 5.0), 1.2, light, white)
+    b.add_triangle((3.0, -0.8, -0.4), (3.6, 0.4, 1.3), (4.2, -1.6, 1.0),
+                   diffuse, tex_check)
+    scene = b.build()
+    cam = rt.make_camera((0.0, 0.0, 0.5), 32, 24, np.pi / 2, np.pi / 2)
+    cfg_t = RenderConfig(refmax=3, backend=HitBackend.TILED)
+    # pass tables explicitly so the small test scene stays on the TILED
+    # path (the prim-count dispatch would reroute it to PALLAS otherwise)
+    from raytracer_js_tpu.render_tiled import frame_tables
+    img_t = np.asarray(rt.render_hdr(scene, cam, cfg_t,
+                                     tables=frame_tables(scene, cam)))
+    img_b = np.asarray(rt.render_hdr(
+        scene, cam, RenderConfig(refmax=3, backend=HitBackend.BRUTE)))
+    np.testing.assert_allclose(img_t, img_b, atol=1e-4)
