@@ -178,7 +178,8 @@ class OctreeConfig:
 #: env var               default  status        measured basis
 #: ====================  =======  ============  =============================
 #: RT_FUSE_SUB           32       frozen        r1 sweep: 32 -> 3.69 ms/frame
-#: RT_NH_BLOCK_R         512      frozen        r4 exp_blockr: 406 ms config4
+#: RT_NH_BLOCK_R         512      frozen        r4 exp_blockr (re-priced
+#:                                              r5: exact kernel 805 ms)
 #: RT_NH_CHUNK_T         4        frozen        r4 exp_chunkt sweep
 #: RT_TILED_MIN_PRIMS    2048     frozen        r4 exp_c3 crossover
 #: RT_TILE_SUB           32       frozen        r2 tiled kernel sweep

@@ -1,0 +1,132 @@
+"""On-chip smoke: kernel parity + end-to-end drives on the REAL TPU.
+
+The CPU suite runs every kernel in interpret mode, which does NOT catch
+on-chip-only failures (r5's phantom-hit find: default-precision MXU dots
+bf16-round operands on chip; interpret mode under this environment's
+lowering reproduced it, but only because the axon site configures matmul
+precision — do not rely on that). Run this after ANY kernel or
+precision-adjacent change:
+
+    python tools/tpu_smoke.py
+
+Checks (all must print ok):
+  1. dense + listed nearest-hit pid parity vs XLA brute on a 600-sphere
+     near-miss-rich field (the phantom-hit class).
+  2. TILED full render == BRUTE full render on chip (bit-exact-ish).
+  3. image-scene TILED (record + replay shading) == BRUTE.
+  4. FUSED headline-class render finite and matches BRUTE to 1e-4.
+Exit code 0 = all pass.
+"""
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import raytracer_js_tpu as rt
+from raytracer_js_tpu import RenderConfig, ResponseType, SceneBuilder
+from raytracer_js_tpu.config import HitBackend
+from raytracer_js_tpu.kernels.nearest_hit import nearest_hit_pallas
+from raytracer_js_tpu.models.camera import pixel_rays
+from raytracer_js_tpu.ops.trace import nearest_hit_brute
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    print(json.dumps({"check": name, "ok": bool(ok), "detail": detail}),
+          flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def sphere_field(n=600, seed=0):
+    b = SceneBuilder()
+    b.set_sky(b.add_solid_texture((.35, .45, .65)))
+    m = b.add_material(ResponseType.REFLECTION)
+    mm = b.add_material(ResponseType.REFLECTION, mirror=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        p = rng.uniform(-4, 4, 3)
+        p[0] += 8
+        b.add_sphere(tuple(p), 0.25, (m, mm)[i % 3 == 0],
+                     b.add_solid_texture((.8, .3, .2)))
+    return b.build()
+
+
+def main():
+    dev = jax.devices()[0]
+    print(json.dumps({"device": str(dev)}), flush=True)
+
+    # 1. kernel pid parity on the near-miss field
+    scene = sphere_field()
+    cam = rt.make_camera((0, 0, 0.5), 128, 128, np.pi / 2, np.pi / 2)
+    org, dirs = pixel_rays(cam)
+    t_b, p_b = map(np.asarray, jax.jit(
+        lambda o, d: nearest_hit_brute(scene, o, d))(org, dirs))
+    t_k, p_k = map(np.asarray, jax.jit(
+        lambda o, d: nearest_hit_pallas(scene, o, d))(org, dirs))
+    mism = int((p_k != p_b).sum())
+    check("kernel_pid_parity", mism == 0, f"mismatches={mism}")
+
+    # 2. TILED == BRUTE full render
+    from raytracer_js_tpu.render_tiled import frame_tables
+
+    tabs = frame_tables(scene, cam)
+    img_t = np.asarray(rt.render_hdr(
+        scene, cam, RenderConfig(refmax=2, backend=HitBackend.TILED),
+        tables=tabs))
+    img_b = np.asarray(rt.render_hdr(
+        scene, cam, RenderConfig(refmax=2, backend=HitBackend.BRUTE)))
+    err = float(np.abs(img_t - img_b).max())
+    check("tiled_eq_brute", err <= 1e-4, f"maxerr={err:.2e}")
+
+    # 3. image-scene TILED (record + replay shading) == BRUTE
+    bi = SceneBuilder(atlas_hw=(16, 16))
+    yy = np.linspace(0, 1, 16)[:, None] * np.ones((1, 16))
+    bi.set_sky(bi.add_image_texture(np.stack(
+        [.3 + .3 * yy, .4 + .2 * yy, .6 + .2 * yy], -1).astype(np.float32)))
+    chk = (np.indices((16, 16)).sum(0) % 2).astype(np.float32)[..., None]
+    tex = bi.add_image_texture(
+        (chk * [.5, .1, .1] + [.3, .3, .3]).astype(np.float32))
+    dif = bi.add_material(ResponseType.REFLECTION)
+    mir = bi.add_material(ResponseType.REFLECTION, mirror=True)
+    bi.add_box((0, 0, -51.), 100., dif, bi.add_solid_texture((.55, .55, .6)))
+    bi.add_sphere((4, -1.2, .6), .8, mir, bi.add_solid_texture((1., 1., 1.)))
+    bi.add_sphere((4, 1.4, .7), .9, dif, tex)
+    isc = bi.build()
+    icam = rt.make_camera((0, 0, 0.5), 64, 64, np.pi / 2, np.pi / 2)
+    itabs = frame_tables(isc, icam)
+    img_it = np.asarray(rt.render_hdr(
+        isc, icam, RenderConfig(refmax=3, backend=HitBackend.TILED),
+        tables=itabs))
+    img_ib = np.asarray(rt.render_hdr(
+        isc, icam, RenderConfig(refmax=3, backend=HitBackend.BRUTE)))
+    err = float(np.abs(img_it - img_ib).max())
+    check("image_tiled_eq_brute", err <= 1e-4, f"maxerr={err:.2e}")
+
+    # 4. FUSED headline class vs BRUTE
+    from bench import build_scene
+
+    hs = build_scene(50)
+    hcam = rt.make_camera((0, 0, 0.5), 128, 128, np.pi / 2, np.pi / 2)
+    img_f = np.asarray(rt.render_hdr(
+        hs, hcam, RenderConfig(refmax=2, backend=HitBackend.FUSED)))
+    img_hb = np.asarray(rt.render_hdr(
+        hs, hcam, RenderConfig(refmax=2, backend=HitBackend.BRUTE)))
+    err = float(np.abs(img_f - img_hb).max())
+    check("fused_eq_brute", np.isfinite(img_f).all() and err <= 1e-3,
+          f"maxerr={err:.2e}")
+
+    if FAILED:
+        print(json.dumps({"smoke": "FAIL", "failed": FAILED}), flush=True)
+        sys.exit(1)
+    print(json.dumps({"smoke": "ok"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
