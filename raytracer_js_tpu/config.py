@@ -178,9 +178,12 @@ class OctreeConfig:
 #: env var               default  status        measured basis
 #: ====================  =======  ============  =============================
 #: RT_FUSE_SUB           32       frozen        r1 sweep: 32 -> 3.69 ms/frame
-#: RT_NH_BLOCK_R         512      frozen        r4 exp_blockr (re-priced
-#:                                              r5: exact kernel 805 ms)
-#: RT_NH_CHUNK_T         4        frozen        r4 exp_chunkt sweep
+#: RT_NH_BLOCK_R         128      frozen        r5 exact-kernel re-sweep:
+#:                                              kernel+select 826/730/672
+#:                                              at 512/256/128
+#: RT_NH_CHUNK_T         16       frozen        r5: 672/595/558/551 ms at
+#:                                              4/8/16/32 (serial cond
+#:                                              latency; 16 = 99% plateau)
 #: RT_TILED_MIN_PRIMS    2048     frozen        r4 exp_c3 crossover
 #: RT_TILE_SUB           32       frozen        r2 tiled kernel sweep
 #: RT_WAVE_SUB           8        frozen        r2 packet-round sweep

@@ -32,10 +32,14 @@ from ..models.scene import Scene
 Array = jnp.ndarray
 
 #: rays per program (sublane dim, multiple of 8). Large R amortizes the
-#: per-program prim streaming, but [R, K] temps at 512x128 are 64 vregs
-#: each — far past the register file, so every elementwise op round-trips
-#: VMEM. Env-tunable for experiments (tools/exp_nh_blockr.py).
-BLOCK_R = int(__import__("os").environ.get("RT_NH_BLOCK_R", "512"))
+#: per-program prim streaming; small R tightens the per-block cone cull
+#: (included tiles 395/502/604 at 128/256/512) at the price of a bigger
+#: [B, T] selection argsort (83/42/21 ms). The r4 freeze at 512 was
+#: measured on the phantom-precision kernel; with the EXACT dots the
+#: per-test cost doubled and the cull side of the tradeoff wins: r5
+#: kernel+select totals 826/730/672/712 ms at 512/256/128/64
+#: (tools/bench_results_r5/exp_c4*.json). Env-tunable for experiments.
+BLOCK_R = int(__import__("os").environ.get("RT_NH_BLOCK_R", "128"))
 #: primitives per streamed tile (lane dim). 128 = the minimum lane tile:
 #: measured on-chip, a 512-lane tile wastes ~90% of VPU lanes on 50-prim
 #: scenes (69 ms vs XLA brute's 34 ms); prim-count padding is per 128.
@@ -127,9 +131,11 @@ def _nearest_hit_kernel_culled(nl_ref, tb_ref, org_ref, dir_ref, sph_ref,
 
 #: listed-kernel chunk: tiles streamed between early-exit checks (the
 #: per-chunk scalar branch amortizes to 1/CHUNK_T per tile — a per-tile
-#: cond chain was the r3 SWEEP_CULL failure mode). Env-tunable for
-#: experiments (tools/exp_nh_blockr.py).
-CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "4"))
+#: cond chain was the r3 SWEEP_CULL failure mode). r5 re-sweep on the
+#: exact kernel at BLOCK_R=128: kernel 672/595/558/551 ms at chunk
+#: 4/8/16/32 — the while-loop's serial cond+reduce latency dominates at
+#: small chunks; 16 takes 99% of the plateau. Env-tunable.
+CHUNK_T = int(__import__("os").environ.get("RT_NH_CHUNK_T", "16"))
 
 #: rays per PROGRAM in the listed variant (tile selection stays at
 #: BLOCK_R granularity — see _nearest_hit_kernel_listed). Smaller
